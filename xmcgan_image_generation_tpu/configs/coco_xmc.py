@@ -1,0 +1,117 @@
+"""Default XMC-GAN configuration for COCO-2014.
+
+Hyperparameter surface mirrors the reference config
+(`/root/reference/xmcgan/configs/coco_xmc.py:18-92`) so a user of the
+reference can bring their config knowledge over unchanged.  TPU-specific
+additions are grouped at the bottom (`mesh_*`, `use_pallas`, ...).
+"""
+
+import ml_collections
+
+
+def get_config() -> ml_collections.ConfigDict:
+  """Default hyperparameters (COCO-2014, 128px)."""
+  config = ml_collections.ConfigDict()
+  config.seed = 42
+
+  # Evaluation protocol (reference configs/coco_xmc.py:23-24).
+  config.eval_num = 30000
+  config.eval_avg_num = 3
+  config.num_train_steps = -1
+  config.log_loss_every_steps = 1000
+  config.eval_every_steps = 1000
+  config.checkpoint_every_steps = 5000
+
+  # Data (reference configs/coco_xmc.py:30-34).
+  config.dataset = "mscoco"
+  config.coco_version = "2014"
+  config.data_dir = "data/"
+  config.return_text = False
+  config.return_filename = False
+
+  config.trial = 0  # Dummy knob for repeated runs.
+  # Optimization (reference configs/coco_xmc.py:37-45).
+  config.beta1 = 0.5
+  config.beta2 = 0.999
+  config.d_lr = 0.0004
+  config.g_lr = 0.0001
+  config.polyak_decay = 0.999
+  config.show_num = 64
+  config.shuffle_buffer_size = 1000
+  config.batch_norm_group_size = -1
+  config.dtype = "bfloat16"
+  config.train_shuffle = True
+
+  config.image_size = 128
+  config.batch_size = 56
+  config.eval_batch_size = 56
+
+  # Model (reference configs/coco_xmc.py:52-66).
+  config.df_dim = 96
+  config.gf_dim = 96
+  config.z_dim = 128
+  config.num_epochs = 500
+  config.model_name = "xmc"
+  config.d_step_per_g_step = 2
+  config.g_spectral_norm = False
+  config.d_spectral_norm = True
+  config.architecture = "xmc_net"
+  config.gamma_for_g = 15
+  config.word_contrastive = True
+  config.sentence_contrastive = True
+  config.image_contrastive = True
+  config.pretrained_image_contrastive = True
+  config.cond_size = 16
+
+  # ------------------------------------------------------------------
+  # TPU-native knobs (new in this framework).
+  # ------------------------------------------------------------------
+  # Mesh axis sizes.  data=-1 means "all devices on the data axis".
+  config.mesh_data = -1
+  config.mesh_model = 1
+  # Use Pallas TPU kernels for the fused contrastive / attention ops.
+  config.use_pallas = False
+  # Contrastive negative pool: "global" gathers features across the whole
+  # data axis (the sync_match the reference declared but never implemented,
+  # reference libml/attention_lib.py:58-59).
+  config.contrastive_negatives = "global"
+  # Data source: "tfrecord" reads the reference-compatible TFRecords from
+  # data_dir; "synthetic" produces deterministic random batches (smoke/bench).
+  config.data_source = "tfrecord"
+  # Pretrained tower checkpoints (empty string => random init, which is what
+  # the reference tests use, reference utils/pretrained_model_utils_test.py:28-36).
+  config.resnet_ckpt_path = ""
+  config.inception_ckpt_path = ""
+  # Host data-loading workers (grain).
+  config.grain_worker_count = 8
+  return config
+
+
+def get_test_config() -> ml_collections.ConfigDict:
+  """Small configuration for CPU smoke tests.
+
+  Mirrors the reference shrink factors (reference configs/coco_xmc.py:71-88).
+  """
+  config = get_config()
+  config.batch_size = 2
+  config.eval_batch_size = 2
+  config.eval_num = 2
+  config.eval_avg_num = 1
+  config.num_train_steps = 2
+  config.log_loss_every_steps = 1
+  config.eval_every_steps = 1
+  config.checkpoint_every_steps = 1
+  config.df_dim = 16
+  config.gf_dim = 16
+  config.z_dim = 8
+  config.show_num = 4
+  config.num_epochs = 1
+  config.shuffle_buffer_size = 10
+  config.data_source = "synthetic"
+  config.pretrained_image_contrastive = False
+  config.grain_worker_count = 0
+  return config
+
+
+def get_hyper(h):
+  return h.product([], name="config")
