@@ -13,12 +13,22 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # This box can have as little as 1 physical core; 8 virtual devices
+    # executing a heavy SPMD program then starve each other and trip the
+    # default 40s collective-rendezvous termination timeout.  Raise it —
+    # slowness is not a deadlock.
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+    + " --xla_cpu_collective_timeout_seconds=1200"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache makes repeat test runs much faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 

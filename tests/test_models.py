@@ -50,6 +50,7 @@ class TestGoldenParameterCounts:
 
   def test_test_config_counts(self):
     config = coco_xmc.get_test_config()
+    config.image_size = 128  # Goldens were computed at 128px.
     _, _, _, _, g_vars, d_vars = init_g_d(config)
     assert count(g_vars["params"]) == 2_603_339
     assert count(g_vars["batch_stats"]) == 2_496

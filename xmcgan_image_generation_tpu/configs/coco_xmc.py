@@ -9,8 +9,16 @@ additions are grouped at the bottom (`mesh_*`, `use_pallas`, ...).
 import ml_collections
 
 
-def get_config() -> ml_collections.ConfigDict:
-  """Default hyperparameters (COCO-2014, 128px)."""
+def get_config(config_string: str = "") -> ml_collections.ConfigDict:
+  """Default hyperparameters (COCO-2014, 128px).
+
+  ``--config=<file>:test`` (ml_collections config-string syntax) returns
+  the small smoke-test configuration instead.
+  """
+  if config_string == "test":
+    return get_test_config()
+  if config_string not in ("", "default"):
+    raise ValueError(f"Unknown config variant {config_string!r}")
   config = ml_collections.ConfigDict()
   config.seed = 42
 
@@ -104,6 +112,9 @@ def get_test_config() -> ml_collections.ConfigDict:
   config.df_dim = 16
   config.gf_dim = 16
   config.z_dim = 8
+  # 32px keeps CPU smoke tests fast (the reference test config stays at
+  # 128px, which needs minutes per compiled step on a small CPU host).
+  config.image_size = 32
   config.show_num = 4
   config.num_epochs = 1
   config.shuffle_buffer_size = 10

@@ -1,0 +1,157 @@
+"""Deterministic, checkpointable input pipeline (grain).
+
+Capability parity with reference xmcgan/libml/input_pipeline.py:27-108,
+redesigned TPU-first:
+
+* grain's index-based sampler replaces tf.data + clu.deterministic_data:
+  global shuffle is a seeded permutation per epoch, per-host sharding is
+  `ShardByJaxProcess`, and the iterator state is a small dict (saved with
+  Orbax via `PyGrainCheckpointHandler`) instead of a serialized tf.data
+  iterator (the reference's resume mechanism, train_utils.py:372-375).
+* The train loader emits *super-batches* of
+  ``d_step_per_g_step * batch_size / process_count`` examples per host
+  (reference libml/input_pipeline.py:46-47); `host_batch_to_global`
+  assembles the global sharded array on the mesh.
+* Per-example randomness comes from grain's per-record RNG, so any record
+  is reproducible independently of worker count or batch order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import grain.python as pg
+import jax
+import ml_collections
+import numpy as np
+
+from xmcgan_image_generation_tpu.data import preprocessing
+from xmcgan_image_generation_tpu.data import sources
+
+Batch = Dict[str, np.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessTransform(pg.RandomMapTransform):
+  """grain wrapper around `preprocessing.preprocess_example`."""
+
+  image_size: int
+  z_dim: int
+  sentence_num: int = 5
+  return_text: bool = False
+  return_filename: bool = False
+
+  def random_map(self, features, rng: np.random.Generator):
+    return preprocessing.preprocess_example(
+        features,
+        rng,
+        image_size=self.image_size,
+        z_dim=self.z_dim,
+        sentence_num=self.sentence_num,
+        return_text=self.return_text,
+        return_filename=self.return_filename,
+    )
+
+
+def _build_source(config: ml_collections.ConfigDict, split: str):
+  if config.data_source == "synthetic":
+    n = 64 if split == "train" else 32
+    return sources.SyntheticXMCSource(num_examples=n, seed=config.seed)
+  if config.data_source == "tfrecord":
+    if config.dataset != "mscoco":
+      raise ValueError(f"Unsupported dataset {config.dataset!r}")
+    pattern = sources.coco_file_pattern(
+        config.data_dir, config.coco_version, split)
+    return sources.COCORecordSource(pattern)
+  raise ValueError(f"Unknown data_source {config.data_source!r}")
+
+
+def _make_loader(
+    config: ml_collections.ConfigDict,
+    split: str,
+    *,
+    seed: int,
+    host_batch_size: int,
+    shuffle: bool,
+    num_epochs: Optional[int],
+    return_text: bool,
+) -> Tuple[pg.DataLoader, int]:
+  source = _build_source(config, split)
+  sampler = pg.IndexSampler(
+      num_records=len(source),
+      shard_options=pg.ShardByJaxProcess(drop_remainder=True),
+      shuffle=shuffle,
+      num_epochs=num_epochs,
+      seed=seed,
+  )
+  transform = PreprocessTransform(
+      image_size=config.image_size,
+      z_dim=config.z_dim,
+      return_text=return_text,
+      return_filename=config.return_filename,
+  )
+  loader = pg.DataLoader(
+      data_source=source,
+      sampler=sampler,
+      operations=[transform, pg.Batch(host_batch_size, drop_remainder=True)],
+      worker_count=config.get("grain_worker_count", 0),
+  )
+  return loader, len(source)
+
+
+def create_datasets(
+    config: ml_collections.ConfigDict,
+    seed: int,
+) -> Tuple[pg.DataLoader, pg.DataLoader, int]:
+  """Builds (train_loader, eval_loader, num_train_examples).
+
+  The train loader yields super-batches for the n-critic step; the eval
+  loader yields plain eval batches and repeats indefinitely.  Both are
+  per-host; batch arrays have leading dim ``host_batch``.
+  """
+  process_count = jax.process_count()
+  if config.batch_size % (process_count or 1):
+    raise ValueError(
+        f"Global batch size {config.batch_size} must be divisible by "
+        f"process count {process_count}.")
+  if config.eval_batch_size % (process_count or 1):
+    raise ValueError(
+        f"Eval batch size {config.eval_batch_size} must be divisible by "
+        f"process count {process_count}.")
+  train_host_batch = (
+      config.batch_size // process_count * config.d_step_per_g_step)
+  eval_host_batch = config.eval_batch_size // process_count
+
+  train_loader, num_train = _make_loader(
+      config, "train",
+      seed=seed,
+      host_batch_size=train_host_batch,
+      shuffle=config.train_shuffle,
+      # The step loop bounds training; the sampler just must not run dry.
+      num_epochs=None,
+      return_text=False,
+  )
+  eval_loader, _ = _make_loader(
+      config, "val",
+      seed=seed + 1,
+      host_batch_size=eval_host_batch,
+      shuffle=False,
+      num_epochs=None,
+      return_text=config.return_text,
+  )
+  return train_loader, eval_loader, num_train
+
+
+def host_batch_to_global(batch: Batch, mesh) -> Any:
+  """Assembles per-host arrays into a global array sharded on ``data``.
+
+  The GSPMD replacement for the implicit transfer at pmap dispatch
+  (reference train_utils.py:421-424): each host contributes its local
+  shard; the result is one logical array laid out over the mesh.
+  """
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  sharding = NamedSharding(mesh, P("data"))
+  return jax.tree_util.tree_map(
+      lambda x: jax.make_array_from_process_local_data(sharding, x), batch)

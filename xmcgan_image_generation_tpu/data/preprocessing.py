@@ -1,0 +1,137 @@
+"""Per-example preprocessing: decode, resize, flip, augment, caption pick.
+
+Capability parity with the reference's tf.data preprocessing
+(reference libml/coco_dataset.py:127-167 and libml/augmentation.py:26-117),
+re-implemented in numpy for the grain host pipeline.  Every random choice
+draws from a per-example `np.random.Generator` handed in by grain's
+deterministic sampler — the stateless-RNG discipline the reference gets
+from `clu.deterministic_data` (libml/input_pipeline.py:32-34).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional
+
+import numpy as np
+
+Example = Dict[str, np.ndarray]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+  """PNG bytes -> float32 RGB array in [0, 1]."""
+  from PIL import Image
+
+  img = Image.open(io.BytesIO(data)).convert("RGB")
+  return np.asarray(img, np.float32) / 255.0
+
+
+def resize_bilinear(image: np.ndarray, height: int, width: int) -> np.ndarray:
+  """Bilinear resize of a [H, W, C] float image in [0, 1]."""
+  from PIL import Image
+
+  if image.shape[0] == height and image.shape[1] == width:
+    return image.astype(np.float32)
+  img = Image.fromarray(
+      np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8))
+  img = img.resize((width, height), Image.BILINEAR)
+  return np.asarray(img, np.float32) / 255.0
+
+
+def random_flip(image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+  if rng.random() < 0.5:
+    return image[:, ::-1, :]
+  return image
+
+
+def augment_shift(image: np.ndarray, rng: np.random.Generator,
+                  w: int = 4) -> np.ndarray:
+  """Pad-4-reflect + random crop (reference libml/augmentation.py:74-89)."""
+  h, wid, _ = image.shape
+  padded = np.pad(image, ((w, w), (w, w), (0, 0)), mode="reflect")
+  dy = int(rng.integers(0, 2 * w + 1))
+  dx = int(rng.integers(0, 2 * w + 1))
+  return padded[dy:dy + h, dx:dx + wid, :]
+
+
+def augment_zoom_crop(image: np.ndarray, rng: np.random.Generator,
+                      zoom_ratio: float = 1.125) -> np.ndarray:
+  """x1.125 zoom + random crop (reference libml/augmentation.py:92-117)."""
+  h, w, _ = image.shape
+  new_h, new_w = int(h * zoom_ratio), int(w * zoom_ratio)
+  zoomed = resize_bilinear(image, new_h, new_w)
+  dy = int(rng.integers(0, new_h - h + 1))
+  dx = int(rng.integers(0, new_w - w + 1))
+  return zoomed[dy:dy + h, dx:dx + w, :]
+
+
+def augment(image: np.ndarray, rng: np.random.Generator,
+            method: str = "shift", flip: bool = True) -> np.ndarray:
+  """DiffAug-style augmentation (reference libml/augmentation.py:26-70)."""
+  if method == "shift":
+    image = augment_shift(image, rng)
+  elif method == "zoom_crop":
+    image = augment_zoom_crop(image, rng)
+  else:
+    raise NotImplementedError(
+        f"{method} is not supported for data augmentation.")
+  if flip:
+    image = random_flip(image, rng)
+  return image
+
+
+def preprocess_example(
+    features: Dict[str, np.ndarray],
+    rng: np.random.Generator,
+    *,
+    image_size: int,
+    z_dim: int,
+    sentence_num: int = 5,
+    return_text: bool = False,
+    return_filename: bool = False,
+    dtype: np.dtype = np.float32,
+) -> Example:
+  """Raw record features -> training example.
+
+  Mirrors `COCODataset.preprocess` (reference libml/coco_dataset.py:127-167):
+  resize/flip/clip, DiffAug copy, per-caption sentence embedding as the
+  length-normalized word sum, random caption pick (shortest when
+  ``return_text``, the standard eval protocol), and per-example z-noise.
+
+  ``features`` carries ``image`` (decoded float array or PNG bytes),
+  ``caption/embedding [sentence_num, L, D]``,
+  ``caption/max_len [sentence_num]`` and optionally ``caption/text``.
+  """
+  image = features["image"]
+  if isinstance(image, (bytes, bytearray)):
+    image = decode_png(image)
+  image = resize_bilinear(image, image_size, image_size)
+  image = random_flip(image, rng)
+  image = np.clip(image, 0.0, 1.0)
+  image_aug = augment(image, rng)
+
+  embedding = np.asarray(features["caption/embedding"], np.float32)
+  max_len = np.asarray(features["caption/max_len"], np.float32)
+  max_len = max_len.reshape(sentence_num, 1)
+  sentence_feat = embedding.sum(axis=-2) / max_len  # [sentence_num, D]
+  if return_text:
+    # Shortest caption: the standard text-to-image eval protocol
+    # (reference libml/coco_dataset.py:149-152).
+    idx = int(np.argmin(max_len[:, 0]))
+  else:
+    idx = int(rng.integers(0, sentence_num))
+
+  out: Example = {
+      "image": image.astype(dtype),
+      "image_aug": image_aug.astype(dtype),
+      "embedding": embedding[idx].astype(dtype),
+      "max_len": max_len[idx].astype(dtype),
+      "sentence_embedding": sentence_feat[idx].astype(dtype),
+      "z": rng.standard_normal(z_dim).astype(dtype),
+  }
+  if return_text:
+    text = features.get("caption/text")
+    out["text"] = (text[idx] if text is not None else b"")
+  if return_filename:
+    out["filename"] = features.get("image/filename", [b""])[0]
+  return out

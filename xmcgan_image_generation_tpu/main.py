@@ -1,0 +1,60 @@
+"""CLI entry point.
+
+Usage parity with the reference (reference xmcgan/main.py:31-64):
+
+  python -m xmcgan_image_generation_tpu.main \\
+      --config=xmcgan_image_generation_tpu/configs/coco_xmc.py \\
+      --workdir=/tmp/exp --mode=train
+
+``--mode=test`` runs the continuous-evaluation service against the same
+workdir (the reference's test.sh path).  ``--config=<file>:test`` loads
+``get_test_config`` via ml_collections' config-flags syntax.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from absl import app
+from absl import flags
+import jax
+from ml_collections import config_flags
+
+FLAGS = flags.FLAGS
+
+_CONFIG = config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=True)
+_WORKDIR = flags.DEFINE_string("workdir", None, "Work unit directory.")
+_MODE = flags.DEFINE_string(
+    "mode", "train", "Mode: 'train' or 'test' (continuous eval).")
+_MULTIPROCESS = flags.DEFINE_bool(
+    "multiprocess", False,
+    "Call jax.distributed.initialize() for multi-controller runs.")
+flags.mark_flags_as_required(["config", "workdir"])
+
+
+def main(argv):
+  del argv
+  logging.basicConfig(
+      level=logging.INFO,
+      format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+  if _MULTIPROCESS.value:
+    jax.distributed.initialize()
+  logging.info("JAX process: %d / %d", jax.process_index(),
+               jax.process_count())
+  logging.info("JAX devices: %r", jax.devices())
+
+  config = _CONFIG.value
+  workdir = _WORKDIR.value
+  if _MODE.value == "train":
+    from xmcgan_image_generation_tpu import train as train_lib
+    train_lib.train(config, workdir)
+  elif _MODE.value == "test":
+    from xmcgan_image_generation_tpu import evaluate as eval_lib
+    eval_lib.evaluate_continuously(config, workdir)
+  else:
+    raise app.UsageError(f"Unknown --mode {_MODE.value!r}")
+
+
+if __name__ == "__main__":
+  app.run(main)

@@ -37,11 +37,24 @@ from xmcgan_image_generation_tpu.models import blocks
 
 Array = jnp.ndarray
 
-# Channel-multiplier schedules per output resolution
-# (reference nets/xmc_net.py:81-93, 202-205).
-_GEN_CHANNELS = {128: [16, 8, 4, 2, 1], 256: [16, 8, 8, 4, 2, 1]}
-_DISC_CHANNELS = {128: [2, 4, 8, 16, 16], 256: [2, 4, 8, 8, 16, 16]}
+# Channel-multiplier schedules per output resolution.  128/256 match the
+# reference exactly (reference nets/xmc_net.py:81-93, 202-205); 32/64 are
+# extensions of the same pattern for fast smoke tests and small datasets.
+_GEN_CHANNELS = {
+    32: [16, 8, 4],
+    64: [16, 8, 4, 2],
+    128: [16, 8, 4, 2, 1],
+    256: [16, 8, 8, 4, 2, 1],
+}
+_DISC_CHANNELS = {
+    32: [2, 4, 8],
+    64: [2, 4, 8, 16],
+    128: [2, 4, 8, 16, 16],
+    256: [2, 4, 8, 8, 16, 16],
+}
 _DISC_DOWNSAMPLE = {
+    32: [False, True, False],
+    64: [True, True, True, False],
     128: [True, True, True, True, False],
     256: [True, True, True, True, True, False],
 }

@@ -1,0 +1,130 @@
+"""Metric / image writers and periodic progress reporting.
+
+The TPU-native stand-in for `clu.metric_writers` + `clu.periodic_actions`
+(reference xmcgan/train_utils.py:399-412): scalars go to a JSONL file (and
+the log); image grids go to PNG files under ``{workdir}/images``.  Only
+process 0 writes, the rest log.  `ReportProgress` emits steps/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from xmcgan_image_generation_tpu.utils import image_utils
+
+log = logging.getLogger("xmcgan_tpu")
+
+
+class MetricWriter:
+  """Writes scalar dicts to ``metrics.jsonl`` and images to PNGs."""
+
+  def __init__(self, workdir: str, just_logging: bool = False):
+    self.workdir = workdir
+    self.just_logging = just_logging
+    if not just_logging:
+      os.makedirs(workdir, exist_ok=True)
+      os.makedirs(os.path.join(workdir, "images"), exist_ok=True)
+      self._f = open(os.path.join(workdir, "metrics.jsonl"), "a")
+    else:
+      self._f = None
+
+  def write_scalars(self, step: int, scalars: Mapping[str, float]) -> None:
+    scalars = {k: float(v) for k, v in scalars.items()}
+    log.info("step %d: %s", step,
+             " ".join(f"{k}={v:.4f}" for k, v in scalars.items()))
+    if self._f is not None:
+      self._f.write(json.dumps({"step": int(step), **scalars}) + "\n")
+      self._f.flush()
+
+  def write_images(self, step: int,
+                   images: Mapping[str, np.ndarray],
+                   max_images: int = 64) -> None:
+    if self._f is None:
+      return
+    for name, batch in images.items():
+      path = os.path.join(self.workdir, "images",
+                          f"{name}_{int(step):08d}.png")
+      image_utils.save_image(np.asarray(batch), path, max_images)
+
+  def write_hparams(self, hparams: Mapping) -> None:
+    log.info("hparams: %s", dict(hparams))
+    if self._f is not None:
+      with open(os.path.join(self.workdir, "hparams.json"), "w") as f:
+        json.dump({k: _jsonable(v) for k, v in dict(hparams).items()}, f,
+                  indent=2, default=str)
+
+  def flush(self) -> None:
+    if self._f is not None:
+      self._f.flush()
+
+  def close(self) -> None:
+    if self._f is not None:
+      self._f.close()
+
+
+def _jsonable(v):
+  if isinstance(v, (bool, int, float, str, type(None))):
+    return v
+  return str(v)
+
+
+class MetricAccumulator:
+  """Running mean of per-step scalar metrics between writer flushes.
+
+  Replaces the clu metrics Collection merge loop
+  (reference train_utils.py:425-428); the in-step values are already
+  global-batch means under GSPMD, so a host-side running mean suffices.
+  """
+
+  def __init__(self):
+    self._sums: Dict[str, object] = {}
+    self._count = 0
+
+  def update(self, metrics: Mapping[str, object]) -> None:
+    # Values may be live jax scalars: accumulate lazily (tiny async device
+    # adds) and only force a host sync at flush time, so the step pipeline
+    # is never blocked on metric readback.
+    for k, v in metrics.items():
+      self._sums[k] = v if k not in self._sums else self._sums[k] + v
+    self._count += 1
+
+  def compute_and_reset(self) -> Dict[str, float]:
+    if not self._count:
+      return {}
+    out = {k: float(v) / self._count for k, v in self._sums.items()}
+    self._sums, self._count = {}, 0
+    return out
+
+
+class ReportProgress:
+  """Periodic steps/sec reporting (clu.periodic_actions.ReportProgress)."""
+
+  def __init__(self, every_steps: int = 100,
+               num_train_steps: Optional[int] = None,
+               writer: Optional[MetricWriter] = None):
+    self.every_steps = max(1, every_steps)
+    self.num_train_steps = num_train_steps
+    self.writer = writer
+    self._last_time = time.monotonic()
+    self._last_step: Optional[int] = None
+
+  def __call__(self, step: int) -> None:
+    if self._last_step is None:
+      self._last_step, self._last_time = step, time.monotonic()
+      return
+    if step % self.every_steps:
+      return
+    now = time.monotonic()
+    sps = (step - self._last_step) / max(now - self._last_time, 1e-9)
+    frac = f", {step / self.num_train_steps:.1%}" if self.num_train_steps \
+        else ""
+    log.info("progress: step %d (%.3f steps/sec%s)", step, sps, frac)
+    if self.writer is not None:
+      self.writer.write_scalars(step, {"steps_per_sec": sps})
+    self._last_step, self._last_time = step, now

@@ -1,0 +1,83 @@
+"""Frozen feature-extractor registry (ResNet-50 tower).
+
+Capability parity with reference xmcgan/utils/pretrained_model_utils.py:
+a frozen ResNet-50 whose 1000-d head drives the pretrained image-image
+contrastive loss (reference xmc_gan.py:85-90).  Weights load from the same
+``.npy`` dict format (``{"params": ..., "batch_stats": ...}``); with no
+checkpoint the tower is deterministically random-initialized — exactly the
+mode the reference's own tests exercise
+(reference utils/pretrained_model_utils_test.py:28-36).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmcgan_image_generation_tpu.models import resnet_v1
+
+RESNET_IMG_SIZE = 224
+
+
+@flax.struct.dataclass
+class FrozenTowerState:
+  params: Any
+  batch_stats: Any
+
+
+def get_pretrained_model(
+    model_name: str = "resnet50",
+    checkpoint_path: Optional[str] = None,
+) -> Tuple[nn.Module, FrozenTowerState]:
+  """Builds the frozen tower and loads (or randomly inits) its weights.
+
+  Args:
+    model_name: Only ``"resnet50"`` is registered (parity with reference
+      utils/pretrained_model_utils.py:79-80).
+    checkpoint_path: Optional path to a ``.npy`` pickle dict with keys
+      ``params`` / ``batch_stats``.  ``None`` or ``""`` => random init.
+
+  Returns:
+    ``(module, state)``.
+  """
+  if model_name != "resnet50":
+    raise ValueError(f"Model {model_name!r} not supported.")
+  model = resnet_v1.ResNet50(num_classes=1000)
+  variables = model.init(
+      jax.random.PRNGKey(42),
+      jnp.ones((1, RESNET_IMG_SIZE, RESNET_IMG_SIZE, 3)),
+      train=False)
+  params = variables["params"]
+  batch_stats = variables["batch_stats"]
+  if checkpoint_path:
+    with open(checkpoint_path, "rb") as f:
+      data = np.load(f, allow_pickle=True).item()
+    params = jax.tree_util.tree_map(jnp.asarray, data["params"])
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, data["batch_stats"])
+  return model, FrozenTowerState(params=params, batch_stats=batch_stats)
+
+
+def get_pretrained_embs(
+    state: FrozenTowerState, model: nn.Module,
+    images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+  """Runs frozen inference: ``(7x7x2048 features, 1000-d logits)``.
+
+  Resizes to 224x224 bilinear when needed and stops gradients through the
+  tower's weights (the tower is frozen; gradients still flow to the input
+  images, which is what the contrastive-on-pretrained loss needs).
+  """
+  if images.ndim != 4 or images.shape[-1] != 3:
+    raise ValueError("images should be of shape (N, H, W, 3).")
+  if images.shape[1] != RESNET_IMG_SIZE or images.shape[2] != RESNET_IMG_SIZE:
+    images = jax.image.resize(
+        images,
+        (images.shape[0], RESNET_IMG_SIZE, RESNET_IMG_SIZE, images.shape[-1]),
+        "bilinear")
+  variables = {"params": state.params, "batch_stats": state.batch_stats}
+  pool, out = model.apply(variables, images, train=False, mutable=False)
+  return pool, out

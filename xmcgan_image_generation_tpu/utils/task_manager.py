@@ -1,0 +1,124 @@
+"""Experiment services: checkpoint polling for the eval job + CSV results.
+
+Capability parity with reference xmcgan/utils/task_manager.py:28-202:
+
+* `TaskManager.unevaluated_checkpoints`: a generator that polls the train
+  job's checkpoint directory (Orbax steps instead of tf.train checkpoint
+  names), yields steps not yet evaluated, and terminates on timeout or the
+  ``TRAIN_DONE`` marker.
+* `TaskManagerWithCsvResults`: dedupes against and appends to
+  ``scores.csv`` in the checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Dict, Iterable, Iterator, List, Optional, Set
+
+from xmcgan_image_generation_tpu.utils.checkpoint import CheckpointManager
+
+log = logging.getLogger("xmcgan_tpu")
+
+TRAIN_DONE_MARKER = "TRAIN_DONE"
+
+
+class TaskManager:
+  """Tracks the status of a training task via its checkpoint directory."""
+
+  def __init__(self, checkpoint_dir: str):
+    self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+
+  @property
+  def workdir(self) -> str:
+    return os.path.dirname(self.checkpoint_dir)
+
+  def mark_training_done(self) -> None:
+    os.makedirs(self.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(self.checkpoint_dir, TRAIN_DONE_MARKER), "w") as f:
+      f.write(time.strftime("%Y-%m-%d %H:%M:%S"))
+
+  def is_training_done(self) -> bool:
+    return os.path.exists(os.path.join(self.checkpoint_dir,
+                                       TRAIN_DONE_MARKER))
+
+  def _list_steps(self) -> List[int]:
+    if not os.path.isdir(self.checkpoint_dir):
+      return []
+    try:
+      mngr = CheckpointManager(self.checkpoint_dir, with_data_iter=False)
+      steps = mngr.all_steps()
+      mngr.close()
+      return steps
+    except Exception as e:  # Directory mid-write etc.
+      log.warning("Could not list checkpoints: %s", e)
+      return []
+
+  def unevaluated_checkpoints(
+      self,
+      timeout: int = 3600 * 8,
+      num_batched_steps: int = 1,
+      eval_every_steps: Optional[int] = None,
+  ) -> Iterator[int]:
+    """Yields steps of not-yet-evaluated checkpoints as they appear.
+
+    Polls every 5 seconds (reference utils/task_manager.py:99-157);
+    returns when no new checkpoint has appeared within ``timeout`` seconds
+    or training is marked done and everything is evaluated.
+    """
+    log.info("Looking for checkpoints in %s", self.checkpoint_dir)
+    evaluated: Set[int] = set(self._evaluated_steps())
+    last_eval = time.time()
+    while True:
+      unevaluated = [s for s in self._list_steps() if s not in evaluated]
+      if eval_every_steps:
+        unevaluated = [s for s in unevaluated
+                       if s > 0 and s % eval_every_steps == 0]
+      for step in unevaluated:
+        evaluated.add(step)
+        yield step
+        last_eval = time.time()
+      if self.is_training_done() and not unevaluated:
+        log.info("Training is done; exiting checkpoint polling.")
+        return
+      if time.time() - last_eval > timeout:
+        log.info("Timeout (%ds) waiting for new checkpoints; exiting.",
+                 timeout)
+        return
+      if not unevaluated:
+        time.sleep(5)
+
+  def _evaluated_steps(self) -> Iterable[int]:
+    return []
+
+
+class TaskManagerWithCsvResults(TaskManager):
+  """TaskManager that persists evaluation results in ``scores.csv``."""
+
+  def __init__(self, checkpoint_dir: str,
+               score_file: Optional[str] = None):
+    super().__init__(checkpoint_dir)
+    self._score_file = score_file or os.path.join(checkpoint_dir,
+                                                  "scores.csv")
+
+  def _evaluated_steps(self) -> List[int]:
+    if not os.path.exists(self._score_file):
+      return []
+    with open(self._score_file) as f:
+      return [int(row["step"]) for row in csv.DictReader(f)]
+
+  def add_eval_result(self, step: int, result: Dict[str, float],
+                      default_value: float = -1.0) -> None:
+    result = {k: float(v) for k, v in result.items()}
+    exists = os.path.exists(self._score_file)
+    fieldnames = ["step"] + sorted(result)
+    os.makedirs(os.path.dirname(self._score_file), exist_ok=True)
+    with open(self._score_file, "a", newline="") as f:
+      writer = csv.DictWriter(f, fieldnames=fieldnames,
+                              restval=default_value,
+                              extrasaction="ignore")
+      if not exists:
+        writer.writeheader()
+      writer.writerow({"step": int(step), **result})
