@@ -1,0 +1,183 @@
+"""Training-throughput benchmark.
+
+Measures images/sec/chip of the full XMC-GAN 128px training step (the
+workload behind BASELINE.md's headline numbers) on the available devices,
+and compares the GSPMD design against a reference-style pmap step (the
+reference's execution model: per-device batches, replicated params, no
+buffer donation, explicit cross-replica averaging — reference
+train_utils.py:379-388).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def build(config, batch_size):
+  from xmcgan_image_generation_tpu.engine import create_train_state
+  from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
+  from xmcgan_image_generation_tpu.engine import xmc_gan
+  from __graft_entry__ import _example_batch
+
+  config.batch_size = batch_size
+  super_batch = _example_batch(
+      config, config.batch_size * config.d_step_per_g_step)
+  super_batch = {k: jnp.asarray(v) for k, v in super_batch.items()}
+  init_batch = split_batch(super_batch, config.d_step_per_g_step)[0]
+  generator, discriminator, state = create_train_state(
+      config, jax.random.PRNGKey(0), init_batch)
+  additional_data = xmc_gan.create_additional_data(config)
+  step = functools.partial(
+      train_step, generator=generator, discriminator=discriminator,
+      config=config, additional_data=additional_data)
+  return step, state, super_batch
+
+
+def time_steps(run_one, state, n_steps):
+  # Warmup (compile + first execute).
+  state = run_one(state, 0)
+  jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+  t0 = time.perf_counter()
+  for i in range(1, n_steps + 1):
+    state = run_one(state, i)
+  jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+  return (time.perf_counter() - t0) / n_steps
+
+
+def bench_gspmd(step, state, super_batch, n_steps):
+  """Our design: single jitted SPMD program, donated state."""
+  from xmcgan_image_generation_tpu.parallel import MeshRules
+  from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
+
+  rules = MeshRules.create()
+  state = jax.device_put(state, rules.replicated)
+  batch = host_batch_to_global(
+      jax.tree_util.tree_map(np.asarray, super_batch), rules.mesh)
+  step_fn = jax.jit(step, donate_argnums=(1,))
+
+  def run_one(state, i):
+    new_state, _ = step_fn(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                           state, batch)
+    return new_state
+
+  return time_steps(run_one, state, n_steps)
+
+
+def bench_reference_style(step, state, super_batch, n_steps):
+  """Reference execution model: pmap over local devices, replicated params,
+  per-device batches, no donation, explicit metric pmean."""
+  n_dev = jax.local_device_count()
+
+  def per_device(rng, state, batch):
+    new_state, metrics = step(rng, state, batch)
+    metrics = jax.lax.pmean(metrics, axis_name="batch")
+    return new_state, metrics
+
+  p_step = jax.pmap(per_device, axis_name="batch")
+  # Replicate via one jitted broadcast program (flax_utils.replicate is a
+  # device dispatch per leaf — minutes over a remote-attached TPU).
+  state = jax.jit(
+      lambda s: jax.tree_util.tree_map(
+          lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), s))(state)
+  batch = jax.tree_util.tree_map(
+      lambda x: np.asarray(x).reshape((n_dev, -1) + x.shape[1:]),
+      super_batch)
+
+  def run_one(state, i):
+    rngs = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(1), i), n_dev)
+    new_state, _ = p_step(rngs, state, batch)
+    return new_state
+
+  return time_steps(run_one, state, n_steps)
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--quick", action="store_true",
+                      help="fewer timing steps")
+  parser.add_argument("--steps", type=int, default=None)
+  parser.add_argument("--image_size", type=int, default=128)
+  parser.add_argument("--batch_size", type=int, default=None)
+  parser.add_argument("--skip_baseline", action="store_true")
+  args = parser.parse_args()
+
+  from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
+
+  n_steps = args.steps or (3 if args.quick else 10)
+  n_chips = jax.device_count()
+  log(f"devices: {jax.devices()}")
+
+  config = get_config()
+  config.image_size = args.image_size
+  config.data_source = "synthetic"
+
+  # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
+  # with chip count, with OOM fallback for small-HBM parts.
+  candidates = ([args.batch_size] if args.batch_size
+                else [56 * max(1, n_chips // 8), 28, 14])
+  built = None
+  for bs in candidates:
+    try:
+      step, state0, super_batch = build(config, bs)
+      # Keep a pristine copy: the gspmd variant donates its state.
+      state_copy = jax.jit(
+          lambda s: jax.tree_util.tree_map(jnp.copy, s))(state0)
+      sec_per_step = bench_gspmd(step, state0, super_batch, n_steps)
+      built = (step, state_copy, super_batch, bs, sec_per_step)
+      break
+    except Exception as e:  # noqa: BLE001 - OOM fallback
+      if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+        log(f"batch {bs} OOM, retrying smaller")
+        continue
+      raise
+  if built is None:
+    raise RuntimeError("All batch sizes OOMed")
+  step, state_copy, super_batch, batch_size, sec_per_step = built
+
+  images_per_step = batch_size * config.d_step_per_g_step
+  throughput = images_per_step / sec_per_step / n_chips
+  log(f"gspmd: {sec_per_step*1e3:.1f} ms/step, batch {batch_size}, "
+      f"{throughput:.2f} images/sec/chip")
+
+  vs_baseline = 1.0
+  if not args.skip_baseline:
+    try:
+      ref_sec = bench_reference_style(step, state_copy, super_batch,
+                                      n_steps)
+      ref_throughput = images_per_step / ref_sec / n_chips
+      vs_baseline = throughput / ref_throughput
+      log(f"reference-style pmap: {ref_sec*1e3:.1f} ms/step, "
+          f"{ref_throughput:.2f} images/sec/chip")
+    except Exception as e:  # noqa: BLE001
+      log(f"baseline variant failed ({type(e).__name__}: {e}); "
+          "reporting vs_baseline=1.0")
+
+  print(json.dumps({
+      "metric": f"xmcgan-{args.image_size}px train throughput "
+                f"(batch {batch_size}, d_steps "
+                f"{config.d_step_per_g_step}, bf16)",
+      "value": round(throughput, 3),
+      "unit": "images/sec/chip",
+      "vs_baseline": round(vs_baseline, 4),
+  }))
+
+
+if __name__ == "__main__":
+  main()

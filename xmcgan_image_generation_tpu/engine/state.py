@@ -84,30 +84,31 @@ def create_train_state(
   d_rng, g_rng, z_rng = jax.random.split(rng, 3)
   image = init_batch["image"]
   batch_size = image.shape[0]
-  z = jax.random.normal(z_rng, (batch_size, config.z_dim), dtype)
-
-  g_variables = dict(
-      generator(train=False).init(g_rng, (init_batch, z)))
-  g_params = g_variables.pop("params")
-  generator_state = g_variables
-
-  all_images = jnp.concatenate([image, image], axis=0)
-  d_variables = dict(
-      discriminator(train=False).init(d_rng, (all_images, init_batch)))
-  d_params = d_variables.pop("params")
-  discriminator_state = d_variables
-
   g_tx, d_tx = create_optimizers(config)
-  state = TrainState(
-      step=jnp.zeros((), jnp.int32),
-      g_params=g_params,
-      d_params=d_params,
-      g_opt_state=g_tx.init(g_params),
-      d_opt_state=d_tx.init(d_params),
-      generator_state=generator_state,
-      discriminator_state=discriminator_state,
-      # A *copy*, not an alias: the train step donates the whole state and
-      # XLA rejects the same buffer appearing under two donated leaves.
-      ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
-  )
-  return generator, discriminator, state
+
+  # One jitted program builds the whole state: running the hundreds of
+  # per-layer initializers eagerly costs a device dispatch each (minutes on
+  # a remote-attached TPU); under jit it is a single compile + execute.
+  @jax.jit
+  def _init(g_rng, d_rng, z_rng):
+    z = jax.random.normal(z_rng, (batch_size, config.z_dim), dtype)
+    g_variables = dict(generator(train=False).init(g_rng, (init_batch, z)))
+    g_params = g_variables.pop("params")
+    all_images = jnp.concatenate([image, image], axis=0)
+    d_variables = dict(
+        discriminator(train=False).init(d_rng, (all_images, init_batch)))
+    d_params = d_variables.pop("params")
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        generator_state=g_variables,
+        discriminator_state=d_variables,
+        # A *copy*, not an alias: the train step donates the whole state
+        # and XLA rejects one buffer appearing under two donated leaves.
+        ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
+    )
+
+  return generator, discriminator, _init(g_rng, d_rng, z_rng)

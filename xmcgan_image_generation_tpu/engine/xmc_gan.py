@@ -72,8 +72,18 @@ def pretrained_contrastive(additional_data: Dict[str, Any],
   """
   model = additional_data["image_model"]
   state = additional_data["image_model_state"]
-  _, real_out = pretrained.get_pretrained_embs(state, model, real_images)
-  _, fake_out = pretrained.get_pretrained_embs(state, model, fake_images)
+
+  # Rematerialize the frozen tower: its 224x224 activations for a full
+  # batch dominate live memory in the backward pass, and recomputing one
+  # frozen ResNet-50 forward is cheap next to holding it (HBM is the
+  # bottleneck, not MXU FLOPs).
+  @jax.checkpoint
+  def _embs(images):
+    _, out = pretrained.get_pretrained_embs(state, model, images)
+    return out
+
+  real_out = _embs(real_images)
+  fake_out = _embs(fake_images)
   loss, _, _ = contrastive_ops.nt_xent(real_out, fake_out)
   return loss
 

@@ -1,0 +1,79 @@
+"""Continuous-evaluation service (the reference's ``--mode=test`` path).
+
+Capability parity with `test` (reference xmcgan/train_utils.py:464-514):
+precompute real-image Inception statistics once, then poll the training
+workdir for new checkpoints, score each (FID + IS, normal and EMA weights,
+mean +- std over ``eval_avg_num`` repeats), append to ``scores.csv`` and the
+metric writer, and exit on timeout or TRAIN_DONE.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+
+from xmcgan_image_generation_tpu.data import create_datasets
+from xmcgan_image_generation_tpu.engine import create_train_state
+from xmcgan_image_generation_tpu.parallel import MeshRules
+from xmcgan_image_generation_tpu.utils.checkpoint import (
+    CheckpointManager,
+    checkpoints_dir,
+)
+from xmcgan_image_generation_tpu.utils.eval_metrics import EvalMetric
+from xmcgan_image_generation_tpu.utils.metric_writer import MetricWriter
+from xmcgan_image_generation_tpu.utils.task_manager import (
+    TaskManagerWithCsvResults,
+)
+
+log = logging.getLogger("xmcgan_tpu")
+
+
+def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
+                          timeout: int = 24 * 3600) -> None:
+  """Runs the checkpoint-polling FID/IS service against ``workdir``."""
+  rules = MeshRules.create(config.get("mesh_data", -1),
+                           config.get("mesh_model", 1))
+  rng = jax.random.PRNGKey(config.seed)
+  rng, eval_rng, model_rng = jax.random.split(rng, 3)
+
+  _, eval_loader, _ = create_datasets(config, seed=config.seed)
+  eval_iter = iter(eval_loader)
+
+  eval_metric = EvalMetric(eval_iter, config, mesh=rules.mesh)
+  ckpt_dir = checkpoints_dir(workdir)
+  task_manager = TaskManagerWithCsvResults(ckpt_dir)
+  writer = MetricWriter(workdir, just_logging=jax.process_index() > 0)
+
+  # Template state for restoration (shapes only).
+  init_batch = {k: jnp.asarray(v) for k, v in next(eval_iter).items()
+                if k not in ("text", "filename")}
+  generator, _, template = create_train_state(config, model_rng, init_batch)
+  ckpt = CheckpointManager(ckpt_dir, with_data_iter=False)
+
+  for step in task_manager.unevaluated_checkpoints(timeout=timeout):
+    log.info("Evaluating checkpoint at step %d", step)
+    state = ckpt.restore(step, template)
+    state = jax.device_put(state, rules.replicated)
+    (fid, fid_std, inception_score, inception_score_std,
+     ema_fid, ema_fid_std, ema_is, ema_is_std) = (
+         eval_metric.calculate_inception_fid(generator, state, eval_rng))
+    result = {
+        "eval/fid": fid,
+        "eval/fid_std": fid_std,
+        "eval/inception_score": inception_score,
+        "eval/inception_score_std": inception_score_std,
+        "eval/ema_fid": ema_fid,
+        "eval/ema_fid_std": ema_fid_std,
+        "eval/ema_inception_score": ema_is,
+        "eval/ema_inception_score_std": ema_is_std,
+    }
+    task_manager.add_eval_result(step, result)
+    writer.write_scalars(step, result)
+  writer.flush()
+  ckpt.close()
+  log.info("Evaluation service finished.")

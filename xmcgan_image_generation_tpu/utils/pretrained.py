@@ -11,6 +11,7 @@ mode the reference's own tests exercise
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Tuple
 
 import flax
@@ -48,10 +49,10 @@ def get_pretrained_model(
   if model_name != "resnet50":
     raise ValueError(f"Model {model_name!r} not supported.")
   model = resnet_v1.ResNet50(num_classes=1000)
-  variables = model.init(
+  # Jitted init: one program instead of one device dispatch per layer.
+  variables = jax.jit(functools.partial(model.init, train=False))(
       jax.random.PRNGKey(42),
-      jnp.ones((1, RESNET_IMG_SIZE, RESNET_IMG_SIZE, 3)),
-      train=False)
+      jnp.ones((1, RESNET_IMG_SIZE, RESNET_IMG_SIZE, 3)))
   params = variables["params"]
   batch_stats = variables["batch_stats"]
   if checkpoint_path:
