@@ -108,6 +108,55 @@ def bench_reference_style(step, state, super_batch, n_steps):
   return time_steps(run_one, state, n_steps)
 
 
+def _baseline_throughput(args, config, n_steps, n_chips, step, state,
+                         super_batch, batch_size):
+  """Images/sec/chip of the reference-style pmap step.
+
+  Measured once per (device kind, image size) and cached: the pmap variant
+  is a second full compile of the big program (minutes on remote-attached
+  chips), so round-over-round bench runs reuse the measurement.  The
+  reference design does not donate buffers and OOMs at the batch sizes the
+  GSPMD step handles; on OOM we fall back to half batch and compare
+  throughput-per-image (the reference's best achievable rate).
+  """
+  import os
+  cache_path = "/tmp/xmcgan_bench_baseline.json"
+  key = f"{jax.devices()[0].device_kind}|{args.image_size}|{n_chips}"
+  cache = {}
+  if os.path.exists(cache_path):
+    try:
+      with open(cache_path) as f:
+        cache = json.load(f)
+    except Exception:  # noqa: BLE001
+      cache = {}
+  if key in cache:
+    log(f"baseline (cached): {cache[key]:.2f} images/sec/chip")
+    return cache[key]
+
+  for bs in (batch_size, batch_size // 2, batch_size // 4):
+    try:
+      if bs == batch_size:
+        args_ = (step, state, super_batch)
+      else:
+        args_ = build(config, bs)
+      ref_sec = bench_reference_style(*args_, n_steps)
+      ref = bs * config.d_step_per_g_step / ref_sec / n_chips
+      log(f"reference-style pmap: {ref_sec*1e3:.1f} ms/step @ batch {bs}, "
+          f"{ref:.2f} images/sec/chip")
+      cache[key] = ref
+      with open(cache_path, "w") as f:
+        json.dump(cache, f)
+      return ref
+    except Exception as e:  # noqa: BLE001
+      if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+        log(f"reference-style pmap OOM at batch {bs} "
+            "(the reference design does not donate buffers)")
+        continue
+      log(f"baseline variant failed ({type(e).__name__}: {e})")
+      return None
+  return None
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument("--quick", action="store_true",
@@ -158,16 +207,11 @@ def main():
 
   vs_baseline = 1.0
   if not args.skip_baseline:
-    try:
-      ref_sec = bench_reference_style(step, state_copy, super_batch,
-                                      n_steps)
-      ref_throughput = images_per_step / ref_sec / n_chips
+    ref_throughput = _baseline_throughput(
+        args, config, n_steps, n_chips, step, state_copy, super_batch,
+        batch_size)
+    if ref_throughput:
       vs_baseline = throughput / ref_throughput
-      log(f"reference-style pmap: {ref_sec*1e3:.1f} ms/step, "
-          f"{ref_throughput:.2f} images/sec/chip")
-    except Exception as e:  # noqa: BLE001
-      log(f"baseline variant failed ({type(e).__name__}: {e}); "
-          "reporting vs_baseline=1.0")
 
   print(json.dumps({
       "metric": f"xmcgan-{args.image_size}px train throughput "

@@ -35,6 +35,9 @@ class COCORecordSource:
   """
 
   def __init__(self, file_pattern: str, decode_image: bool = True):
+    self._pattern = file_pattern
+    self._files = []
+    self._cum = np.zeros(1, np.int64)
     paths = sorted(glob.glob(file_pattern))
     if not paths:
       raise FileNotFoundError(
@@ -43,7 +46,6 @@ class COCORecordSource:
     counts = [len(f) for f in self._files]
     self._cum = np.cumsum([0] + counts)
     self._decode_image = decode_image
-    self._pattern = file_pattern
 
   def __repr__(self) -> str:
     # Stable across processes: grain fingerprints the source repr in the

@@ -244,14 +244,15 @@ class Discriminator(nn.Module):
     for metric in ("loss", "acc", "entropy"):
       stats[f"image_contrastive_{metric}"] = zero
 
+    use_pallas = bool(config.get("use_pallas", False))
     real_pool, fake_pool = jnp.split(x_pool, 2)
     if config.sentence_contrastive:
       (stats["fake_sentence_loss"], stats["fake_sentence_acc"],
        stats["fake_sentence_entropy"]) = contrastive_ops.nt_xent(
-           fake_pool, sent_cond)
+           fake_pool, sent_cond, use_pallas=use_pallas)
       (stats["real_sentence_loss"], stats["real_sentence_acc"],
        stats["real_sentence_entropy"]) = contrastive_ops.nt_xent(
-           real_pool, sent_cond)
+           real_pool, sent_cond, use_pallas=use_pallas)
     if config.word_contrastive:
       embedding_dim = word_feat.shape[-1]
       region = conv_fn(embedding_dim, kernel_size=(1, 1))(x_cond)
@@ -260,12 +261,12 @@ class Discriminator(nn.Module):
       real_region, fake_region = jnp.split(region, 2)
       (stats["fake_word_loss"], stats["fake_word_acc"],
        stats["fake_word_entropy"]) = attn_ops.word_loss(
-           fake_region, word_feat, max_len)
+           fake_region, word_feat, max_len, use_pallas=use_pallas)
       (stats["real_word_loss"], stats["real_word_acc"],
        stats["real_word_entropy"]) = attn_ops.word_loss(
-           real_region, word_feat, max_len)
+           real_region, word_feat, max_len, use_pallas=use_pallas)
     if config.image_contrastive:
       (stats["image_contrastive_loss"], stats["image_contrastive_acc"],
        stats["image_contrastive_entropy"]) = contrastive_ops.nt_xent(
-           fake_pool, real_pool)
+           fake_pool, real_pool, use_pallas=use_pallas)
     return out, stats

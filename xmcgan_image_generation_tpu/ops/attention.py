@@ -93,6 +93,7 @@ def word_loss(
     gamma1: float = 5.0,
     gamma2: float = 5.0,
     gamma3: float = 50.0,
+    use_pallas: bool = False,
 ) -> Tuple[Array, Array, Array]:
   """AttnGAN word-region matching loss over the full batch.
 
@@ -119,10 +120,19 @@ def word_loss(
   """
   batch, _, _ = region_feat.shape
   total_len = word_feat.shape[1]
-  rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
-  wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
   # mask[j, w]: 1.0 where word w of caption j is padding.
   mask = padding_mask(max_len, total_len)
+
+  if use_pallas:
+    from xmcgan_image_generation_tpu.ops.pallas.word_scores import (
+        word_scores,
+    )
+    scores_ji = word_scores(region_feat, word_feat, mask, gamma1,
+                            gamma2) * gamma3
+    return _word_loss_from_scores(scores_ji)
+
+  rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+  wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
 
   # sim[j, i, r, w] = <region r of image i, word w of caption j>.
   sim = jnp.einsum("ird,jwd->jirw", rn, wn,
@@ -142,9 +152,14 @@ def word_loss(
   # Masked soft aggregation over words: logsumexp(gamma2 * sim) / gamma2.
   row_sim = row_sim * gamma2 + mask[:, None, :] * NEG_INF
   scores_ji = jax.nn.logsumexp(row_sim, axis=-1) / gamma2  # [caption, image]
-  scores_ji = scores_ji * gamma3
-  scores_ij = scores_ji.T
+  return _word_loss_from_scores(scores_ji * gamma3)
 
+
+def _word_loss_from_scores(
+    scores_ji: Array) -> Tuple[Array, Array, Array]:
+  """Symmetric CE + stats on the [caption, image] score matrix."""
+  batch = scores_ji.shape[0]
+  scores_ij = scores_ji.T
   labels = jax.nn.one_hot(jnp.arange(batch), batch, dtype=jnp.float32)
   loss_i2c = jnp.mean(losses.softmax_cross_entropy(labels=labels,
                                                    logits=scores_ij))

@@ -57,6 +57,7 @@ def nt_xent(
     *,
     l2_norm: bool = True,
     temperature: float = 0.1,
+    use_pallas: bool = False,
 ) -> Tuple[Array, Array, Array]:
   """Symmetric InfoNCE between two aligned feature batches.
 
@@ -75,6 +76,10 @@ def nt_xent(
     directional cross entropies (a->b plus b->a), matching reference
     libml/attention_lib.py:64-79.
   """
+  if use_pallas and l2_norm:
+    from xmcgan_image_generation_tpu.ops.pallas.ntxent import nt_xent_fused
+    return nt_xent_fused(feat_a, feat_b, temperature)
+
   feat_a = feat_a.astype(jnp.float32)
   feat_b = feat_b.astype(jnp.float32)
   if l2_norm:

@@ -1,0 +1,185 @@
+"""Fused AttnGAN word-region score-matrix kernel.
+
+Computes the ``[captions, images]`` matching-score matrix at the heart of
+`ops.attention.word_loss` in one Pallas kernel.  The XLA formulation
+materializes ``[B, B, R, L]`` attention tensors and a ``[B, B, L, D]``
+context tensor in HBM (~0.5 GB of traffic per call at the 128px config);
+here each grid cell (one image i) keeps everything in VMEM:
+
+  T = rn_i @ wn_all^T            one [R, D] x [D, B*L] MXU matmul
+  alpha = softmax_R(gamma1 * T)  masked per caption
+  context = alpha^T rn_i         [B, L, D]
+  rowsim = cos(wn, context)      [B, L]
+  s[:, i] = logsumexp_L(gamma2 * rowsim + mask) / gamma2
+
+The backward pass recomputes through a j-chunked XLA formulation under
+`jax.custom_vjp` (frozen-tower-style recompute: HBM is the bottleneck, not
+FLOPs).
+
+Used when ``config.use_pallas`` is set; inputs must be replicated (the
+single-chip layout).  Sharded dispatch via shard_map is future work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xmcgan_image_generation_tpu.ops.contrastive import l2_normalize
+
+NEG_INF = -1e9
+
+
+def _scores_kernel(rn_ref, wn_flat_ref, mask_row_ref, group_ref, out_ref,
+                   *, gamma1, gamma2):
+  """One image (grid cell i) against all captions.
+
+  The caption x word axes stay fused as one lane dimension (Mosaic cannot
+  split a lane axis), so the per-caption logsumexp is computed as a
+  group-indicator matmul over ``exp(row)`` — safe without a running max
+  because ``|gamma2 * cosine| <= gamma2`` and masked entries are exactly
+  zeroed by ``exp(-1e9)``.
+  """
+  rn = rn_ref[0]                 # [R, D]
+  wn_flat = wn_flat_ref[:]       # [B*L, D]
+  mask_row = mask_row_ref[:]     # [1, B*L] (1.0 at padding)
+  group = group_ref[:]           # [B*L, B] caption-membership indicator
+
+  # [R, B*L] similarity in one MXU matmul.
+  sim = jax.lax.dot_general(
+      rn, wn_flat,
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  logits = sim * gamma1 + mask_row * NEG_INF
+  # Attention over regions (sublane axis) per (caption, word) column.
+  logits = logits - jnp.max(logits, axis=0, keepdims=True)
+  alpha = jnp.exp(logits)
+  alpha = alpha / jnp.sum(alpha, axis=0, keepdims=True)
+
+  # Per-word context from the normalized regions: [B*L, D].
+  context = jax.lax.dot_general(
+      alpha, rn,
+      dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  # Cosine vs the (unit-norm) words.
+  num = jnp.sum(context * wn_flat, axis=-1, keepdims=True)    # [B*L, 1]
+  ctx_sq = jnp.sum(context * context, axis=-1, keepdims=True)
+  rowsim = num * jax.lax.rsqrt(jnp.maximum(ctx_sq, 1e-12))
+
+  row = rowsim * gamma2 + mask_row.T * NEG_INF
+  # Segmented logsumexp via the indicator matmul: [B, 1].
+  seg = jax.lax.dot_general(
+      group, jnp.exp(row),
+      dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  lse = jnp.log(seg)
+  i = pl.program_id(0)
+  # Row i of the [image, caption] score matrix; the output block is the
+  # whole matrix, resident in VMEM across the (sequential) grid.
+  out_ref[pl.ds(i, 1), :] = (lse / gamma2).T
+
+
+def _scores_pallas(rn, wn, mask, gamma1, gamma2, interpret=False):
+  """Returns the [image, caption] score matrix s_ij."""
+  batch, regions, dim = rn.shape
+  total_len = wn.shape[1]
+  flat = batch * total_len
+  wn_flat = wn.reshape(flat, dim)
+  mask_row = mask.reshape(1, flat)
+  # group[c*L + w, c'] = 1 iff c == c'.
+  group = jnp.repeat(jnp.eye(batch, dtype=jnp.float32), total_len, axis=0)
+  kernel = functools.partial(
+      _scores_kernel, gamma1=float(gamma1), gamma2=float(gamma2))
+  return pl.pallas_call(
+      kernel,
+      grid=(batch,),
+      in_specs=[
+          pl.BlockSpec((1, regions, dim), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((flat, dim), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, flat), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((flat, batch), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((batch, batch), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((batch, batch), jnp.float32),
+      interpret=interpret,
+  )(rn, wn_flat, mask_row, group)
+
+
+def _scores_xla_chunked(rn, wn, mask, gamma1, gamma2, chunk=8):
+  """j-chunked XLA reference (bounded memory); used for the backward."""
+
+  def per_caption_block(args):
+    wn_j, mask_j = args  # [C, L, D], [C, L]
+    sim = jnp.einsum("ird,cwd->cirw", rn, wn_j,
+                     preferred_element_type=jnp.float32)
+    logits = sim * gamma1 + mask_j[:, None, None, :] * NEG_INF
+    alpha = jax.nn.softmax(logits, axis=2)
+    context = jnp.einsum("cirw,ird->ciwd", alpha, rn,
+                         preferred_element_type=jnp.float32)
+    num = jnp.einsum("ciwd,cwd->ciw", context, wn_j,
+                     preferred_element_type=jnp.float32)
+    ctx_sq = jnp.sum(jnp.square(context), axis=-1)
+    rowsim = num * jax.lax.rsqrt(jnp.maximum(ctx_sq, 1e-12))
+    row = rowsim * gamma2 + mask_j[:, None, :] * NEG_INF
+    return jax.nn.logsumexp(row, axis=-1) / gamma2  # [C, B_images]
+
+  batch = wn.shape[0]
+  if batch % chunk:
+    chunk = 1
+  wn_blocks = wn.reshape(batch // chunk, chunk, *wn.shape[1:])
+  mask_blocks = mask.reshape(batch // chunk, chunk, mask.shape[1])
+  rows = jax.lax.map(per_caption_block, (wn_blocks, mask_blocks))
+  return rows.reshape(batch, batch)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def word_scores(region_feat, word_feat, mask, gamma1=5.0, gamma2=5.0,
+                interpret=None):
+  """``[captions, images]`` match scores (before the gamma3 scale).
+
+  ``region_feat``: [B, R, D]; ``word_feat``: [B, L, D]; ``mask``: [B, L]
+  with 1.0 at padding words.  Normalization happens inside.
+  """
+  from xmcgan_image_generation_tpu.ops.pallas import default_interpret
+
+  rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+  wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+  if interpret is None:
+    interpret = default_interpret()
+  # The kernel emits [image, caption]; the public contract is
+  # [caption, image] (matching the XLA formulation).
+  return _scores_pallas(rn, wn, mask.astype(jnp.float32), gamma1, gamma2,
+                        interpret=interpret).T
+
+
+def _word_scores_fwd(region_feat, word_feat, mask, gamma1, gamma2,
+                     interpret):
+  out = word_scores(region_feat, word_feat, mask, gamma1, gamma2, interpret)
+  return out, (region_feat, word_feat, mask)
+
+
+def _word_scores_bwd(gamma1, gamma2, interpret, residuals, g):
+  region_feat, word_feat, mask = residuals
+
+  def ref(region_feat, word_feat):
+    rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+    wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+    return _scores_xla_chunked(rn, wn, mask.astype(jnp.float32),
+                               gamma1, gamma2)
+
+  _, vjp_fn = jax.vjp(ref, region_feat, word_feat)
+  d_region, d_word = vjp_fn(g)
+  return d_region, d_word, None
+
+
+word_scores.defvjp(_word_scores_fwd, _word_scores_bwd)
