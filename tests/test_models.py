@@ -111,14 +111,24 @@ class TestGeneratorForward:
     image = gen_fn(train=False).apply(g_vars, (batch, z), mutable=False)
     assert image.dtype == jnp.bfloat16
 
-  def test_grouped_batch_norm_rejected(self):
+  def test_grouped_batch_norm(self):
     config = coco_xmc.get_test_config()
     config.batch_norm_group_size = 2
-    batch = make_batch(config)
-    z = jnp.zeros((2, config.z_dim))
+    batch = make_batch(config, batch_size=4)
+    z = jax.random.normal(jax.random.PRNGKey(9), (4, config.z_dim))
     gen_fn, _ = get_architecture(config, jnp.float32)
-    with pytest.raises(NotImplementedError):
-      gen_fn(train=True).init(jax.random.PRNGKey(0), (batch, z))
+    g_vars = gen_fn(train=True).init(jax.random.PRNGKey(0), (batch, z))
+    out, mutated = gen_fn(train=True).apply(
+        g_vars, (batch, z), mutable=["batch_stats"])
+    assert out.shape == (4, config.image_size, config.image_size, 3)
+    # Same params with global BN give a different output (stats differ).
+    config2 = coco_xmc.get_test_config()
+    config2.batch_norm_group_size = -1
+    gen2, _ = get_architecture(config2, jnp.float32)
+    g_vars2 = gen2(train=True).init(jax.random.PRNGKey(0), (batch, z))
+    out2, _ = gen2(train=True).apply(
+        g_vars2, (batch, z), mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
 
 
 class TestDiscriminatorForward:

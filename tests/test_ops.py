@@ -13,6 +13,7 @@ from xmcgan_image_generation_tpu.ops import losses
 from xmcgan_image_generation_tpu.ops import pooling
 from xmcgan_image_generation_tpu.ops.normalization import (
     ConditionalBatchNorm,
+    GroupedBatchNorm,
     LocalConditionalBatchNorm,
 )
 from xmcgan_image_generation_tpu.ops.spectral_norm import (
@@ -291,6 +292,37 @@ class TestConditionalBatchNorm:
     # output is the normalized x (x*(0+1)+0).
     np.testing.assert_allclose(float(y.mean()), 0.0, atol=1e-5)
     np.testing.assert_allclose(float(y.std()), 1.0, atol=1e-2)
+
+  def test_grouped_bn_matches_per_group_normalization(self):
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 3)) * 3 + 1
+    bn = GroupedBatchNorm(group_size=4, use_scale=False, use_bias=False)
+    variables = bn.init(jax.random.PRNGKey(1), x)
+    y, mutated = bn.apply(variables, x, mutable=["batch_stats"])
+    # Each group of 4 examples normalized with its own stats.
+    for g in range(2):
+      block = np.asarray(y[g * 4:(g + 1) * 4])
+      np.testing.assert_allclose(block.mean((0, 1, 2)), 0.0, atol=1e-4)
+      np.testing.assert_allclose(block.std((0, 1, 2)), 1.0, atol=1e-3)
+    # Running stats moved toward the global batch statistics.
+    ra_mean = np.asarray(mutated["batch_stats"]["mean"])
+    want = 0.9 * 0.0 + 0.1 * np.asarray(x.mean((0, 1, 2)))
+    np.testing.assert_allclose(ra_mean, want, rtol=1e-3, atol=1e-5)
+
+  def test_grouped_bn_eval_uses_running_stats(self):
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 2, 3))
+    bn_t = GroupedBatchNorm(group_size=2, use_scale=False, use_bias=False)
+    variables = bn_t.init(jax.random.PRNGKey(1), x)
+    bn_e = GroupedBatchNorm(group_size=2, use_running_average=True,
+                            use_scale=False, use_bias=False)
+    y = bn_e.apply(variables, x)
+    # Fresh running stats are (0, 1): eval output equals the input.
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-5)
+
+  def test_grouped_bn_rejects_bad_group(self):
+    x = jnp.zeros((6, 2, 2, 3))
+    bn = GroupedBatchNorm(group_size=4)
+    with pytest.raises(ValueError, match="divisible"):
+      bn.init(jax.random.PRNGKey(0), x)
 
   def test_local_cbn_shapes(self):
     lcbn = LocalConditionalBatchNorm(norm_fn=self._norm_fn, conv_fn=nn.Conv)

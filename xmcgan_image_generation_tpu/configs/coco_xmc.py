@@ -92,6 +92,8 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.inception_ckpt_path = ""
   # Host data-loading workers (grain).
   config.grain_worker_count = 8
+  # Capture a 5-step xprof trace on host 0 early in training.
+  config.profile = False
   return config
 
 

@@ -1,0 +1,31 @@
+"""256px paper configuration (COCO-2014).
+
+The reference's full-paper setting needs a TPU v3-32-class mesh
+(reference README.md:76); here the same config runs under GSPMD on any
+mesh — set ``mesh_data`` or let it consume all devices.
+"""
+
+import ml_collections
+
+from xmcgan_image_generation_tpu.configs import coco_xmc
+
+
+def get_config(config_string: str = "") -> ml_collections.ConfigDict:
+  config = coco_xmc.get_config(config_string)
+  if config_string == "test":
+    return config
+  config.image_size = 256
+  # Paper-scale schedule: larger global batch over the pod slice.
+  config.batch_size = 256
+  config.eval_batch_size = 64
+  return config
+
+
+def get_test_config() -> ml_collections.ConfigDict:
+  config = coco_xmc.get_test_config()
+  config.image_size = 64
+  return config
+
+
+def get_hyper(h):
+  return h.product([], name="config")

@@ -20,6 +20,41 @@ from xmcgan_image_generation_tpu.engine.state import TrainState
 Array = jnp.ndarray
 
 
+def generate_sample(
+    rng: jax.Array,
+    state: TrainState,
+    *,
+    generator: functools.partial,
+    config: ml_collections.ConfigDict,
+    sample_size: int = 0,
+) -> Dict[str, Array]:
+  """Unconditional-style sampling from synthetic random conditions.
+
+  Parity with `generate_sample` (reference xmcgan/train_utils.py:196-242),
+  which draws random one-hot labels; the text-conditional model here needs
+  a full condition dict, so random sentence/word features are synthesized
+  from the rng.  Useful for quick visual sanity checks without data.
+  """
+  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+  n = sample_size or min(config.show_num, config.batch_size)
+  z_rng, s_rng, w_rng, l_rng = jax.random.split(rng, 4)
+  bert_dim = 768
+  text_len = 17
+  batch = {
+      "sentence_embedding": jax.random.normal(s_rng, (n, bert_dim), dtype),
+      "embedding": jax.random.normal(w_rng, (n, text_len, bert_dim), dtype),
+      "max_len": jax.random.randint(
+          l_rng, (n, 1), 3, text_len + 1).astype(dtype),
+      "image": jnp.zeros((n, config.image_size, config.image_size, 3),
+                         dtype),
+      "z": jax.random.normal(z_rng, (n, config.z_dim), dtype),
+  }
+  out = generate_batch(rng, state, batch, generator=generator,
+                       config=config)
+  del out["image"]
+  return out
+
+
 def generate_batch(
     rng: jax.Array,
     state: TrainState,

@@ -25,6 +25,7 @@ import ml_collections
 
 from xmcgan_image_generation_tpu.ops import attention as attn_ops
 from xmcgan_image_generation_tpu.ops import contrastive as contrastive_ops
+from xmcgan_image_generation_tpu.ops import normalization
 from xmcgan_image_generation_tpu.ops.normalization import (
     LocalConditionalBatchNorm,
 )
@@ -75,12 +76,25 @@ def _layer_factories(spectral_norm: bool, train: bool, dtype: Any):
   return conv_fn, dense_fn
 
 
-def _check_batch_norm_group(config: ml_collections.ConfigDict):
-  if config.batch_norm_group_size > 0:
-    raise NotImplementedError(
-        "batch_norm_group_size > 0 (grouped cross-replica BN) is not "
-        "implemented; under GSPMD the default (-1) already computes "
-        "global-batch statistics across the data axis.")
+def _make_norm_fn(config: ml_collections.ConfigDict, train: bool,
+                  dtype: Any):
+  """BatchNorm factory: global-batch stats by default, grouped when
+  ``batch_norm_group_size > 0`` (reference nets/xmc_net.py:192-201)."""
+  group_size = config.batch_norm_group_size
+  if group_size and group_size > 0:
+    return functools.partial(
+        normalization.GroupedBatchNorm,
+        group_size=group_size,
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype)
+  return functools.partial(
+      nn.BatchNorm,
+      use_running_average=not train,
+      momentum=0.9,
+      epsilon=1e-5,
+      dtype=dtype)
 
 
 class Generator(nn.Module):
@@ -105,7 +119,6 @@ class Generator(nn.Module):
   @nn.compact
   def __call__(self, inputs: Tuple[Dict[str, Array], Array]) -> Array:
     config = self.config
-    _check_batch_norm_group(config)
     cond_dict, z = inputs
     sentence = cond_dict["sentence_embedding"]
     word_feat = cond_dict["embedding"]
@@ -117,12 +130,7 @@ class Generator(nn.Module):
 
     conv_fn, dense_fn = _layer_factories(
         config.g_spectral_norm, self.train, self.dtype)
-    norm_fn = functools.partial(
-        nn.BatchNorm,
-        use_running_average=not self.train,
-        momentum=0.9,
-        epsilon=1e-5,
-        dtype=self.dtype)
+    norm_fn = _make_norm_fn(config, self.train, self.dtype)
     channels = _GEN_CHANNELS[config.image_size]
     block_args = dict(
         dense_fn=dense_fn,

@@ -8,8 +8,12 @@ the *per-device* batch by default, with an opt-in grouped cross-replica mode
 GSPMD the batch is one logical array sharded over the ``data`` axis, so the
 natural (and BigGAN-standard) behaviour is statistics over the *global*
 batch — XLA inserts the cross-device reduction over ICI.  This framework
-defaults to global-batch statistics; ``batch_norm_group_size`` is accepted
-for config parity and validated in the model (see models/xmc_net.py).
+defaults to global-batch statistics; ``batch_norm_group_size > 0`` selects
+`GroupedBatchNorm`, which reproduces the reference's grouped semantics in
+*example space*: statistics over contiguous groups of ``group_size``
+examples of the logical batch (device groups in the reference are exactly
+contiguous example groups after its per-device sharding) — no explicit
+collectives needed; XLA partitions the grouped reduction itself.
 """
 
 from __future__ import annotations
@@ -17,9 +21,86 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+from flax.linen.initializers import ones, zeros
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
+
+
+class GroupedBatchNorm(nn.Module):
+  """BatchNorm with statistics over fixed-size groups of examples.
+
+  In training, the batch is split into contiguous groups of ``group_size``
+  examples and each group is normalized with its own statistics (the
+  "virtual batch" / grouped cross-replica BN of reference
+  nets/xmc_net.py:192-201).  Running averages accumulate the *global*
+  batch statistics and are used in inference mode.
+
+  Attributes:
+    group_size: Examples per statistics group (must divide the batch).
+    use_running_average: Inference mode.
+    momentum: Running-average momentum.
+    epsilon: Variance floor.
+    use_bias / use_scale: Learned affine parameters (off under the
+      conditional modulation wrappers).
+    dtype: Compute dtype.
+  """
+
+  group_size: int
+  use_running_average: bool = False
+  momentum: float = 0.9
+  epsilon: float = 1e-5
+  use_bias: bool = True
+  use_scale: bool = True
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    features = x.shape[-1]
+    ra_mean = self.variable("batch_stats", "mean",
+                            lambda s: jnp.zeros(s, jnp.float32),
+                            (features,))
+    ra_var = self.variable("batch_stats", "var",
+                           lambda s: jnp.ones(s, jnp.float32),
+                           (features,))
+    batch = x.shape[0]
+    if batch % self.group_size:
+      raise ValueError(
+          f"batch {batch} not divisible by batch_norm_group_size="
+          f"{self.group_size}")
+
+    if self.use_running_average:
+      mean = ra_mean.value.astype(jnp.float32)
+      var = ra_var.value.astype(jnp.float32)
+      x32 = x.astype(jnp.float32)
+      y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+    else:
+      num_groups = batch // self.group_size
+      xg = x.astype(jnp.float32).reshape(
+          (num_groups, self.group_size) + x.shape[1:])
+      group_axes = tuple(range(1, xg.ndim - 1))
+      g_mean = jnp.mean(xg, axis=group_axes, keepdims=True)
+      g_sq = jnp.mean(jnp.square(xg), axis=group_axes, keepdims=True)
+      g_var = g_sq - jnp.square(g_mean)
+      y = (xg - g_mean) * jax.lax.rsqrt(g_var + self.epsilon)
+      y = y.reshape(x.shape)
+      if not self.is_initializing():
+        # Running averages track the global-batch statistics.
+        global_mean = jnp.mean(g_mean, axis=0).reshape(features)
+        global_var = (jnp.mean(g_sq, axis=0)
+                      - jnp.square(jnp.mean(g_mean, axis=0))).reshape(
+                          features)
+        ra_mean.value = (self.momentum * ra_mean.value
+                         + (1 - self.momentum) * global_mean)
+        ra_var.value = (self.momentum * ra_var.value
+                        + (1 - self.momentum) * global_var)
+    y = y.astype(self.dtype)
+    if self.use_scale:
+      y = y * self.param("scale", ones, (features,)).astype(self.dtype)
+    if self.use_bias:
+      y = y + self.param("bias", zeros, (features,)).astype(self.dtype)
+    return y
 
 
 class ConditionalBatchNorm(nn.Module):

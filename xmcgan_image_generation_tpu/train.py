@@ -46,6 +46,7 @@ from xmcgan_image_generation_tpu.utils.checkpoint import (
 from xmcgan_image_generation_tpu.utils.metric_writer import (
     MetricAccumulator,
     MetricWriter,
+    Profile,
     ReportProgress,
 )
 from xmcgan_image_generation_tpu.utils.task_manager import (
@@ -135,6 +136,11 @@ def train(config: ml_collections.ConfigDict, workdir: str,
   progress = ReportProgress(
       every_steps=min(100, config.log_loss_every_steps),
       num_train_steps=num_train_steps, writer=writer)
+  hooks = [progress]
+  if jax.process_index() == 0 and config.get("profile", False):
+    # Host-0 xprof capture (the reference's periodic_actions.Profile,
+    # train_utils.py:405-412).
+    hooks.append(Profile(workdir, profile_step=10, num_profile_steps=5))
   acc = MetricAccumulator()
 
   log.info("Starting training loop at step %d.", initial_step)
@@ -146,7 +152,8 @@ def train(config: ml_collections.ConfigDict, workdir: str,
       step_rng = jax.random.fold_in(train_rng, step)
       state, metrics = step_fn(step_rng, state, batch)
       acc.update(metrics)
-    progress(step)
+    for hook in hooks:
+      hook(step)
 
     if step % config.log_loss_every_steps == 0 or is_last:
       writer.write_scalars(step, acc.compute_and_reset())

@@ -102,6 +102,39 @@ class MetricAccumulator:
     return out
 
 
+class Profile:
+  """Captures an xprof device trace for a few steps.
+
+  The clu.periodic_actions.Profile equivalent (reference
+  train_utils.py:405-412): call once per step; at ``profile_step`` it
+  starts `jax.profiler.start_trace(logdir)` and stops
+  ``num_profile_steps`` later.  Traces land under ``{logdir}/plugins``.
+  """
+
+  def __init__(self, logdir: str, profile_step: int = 10,
+               num_profile_steps: int = 5):
+    self.logdir = logdir
+    self.profile_step = profile_step
+    self.num_profile_steps = num_profile_steps
+    self._active = False
+    self._done = False
+
+  def __call__(self, step: int) -> None:
+    import jax
+
+    if self._done:
+      return
+    if not self._active and step == self.profile_step:
+      jax.profiler.start_trace(self.logdir)
+      self._active = True
+    elif self._active and step >= self.profile_step + self.num_profile_steps:
+      jax.profiler.stop_trace()
+      self._active = False
+      self._done = True
+      log.info("Wrote xprof trace for steps %d-%d to %s",
+               self.profile_step, step, self.logdir)
+
+
 class ReportProgress:
   """Periodic steps/sec reporting (clu.periodic_actions.ReportProgress)."""
 
