@@ -97,6 +97,38 @@ class TestRecordCodec:
     np.testing.assert_allclose(got["caption/embedding"], [1.5, -2.25])
 
 
+class TestNativeFastIO:
+
+  def test_crc_parity_with_python(self):
+    from xmcgan_image_generation_tpu.data import _native
+    if _native.load() is None:
+      pytest.skip("native fastio unavailable (no C compiler)")
+    for data in (b"", b"a", b"hello world" * 257, bytes(range(256))):
+      assert _native.crc32c(data) == records._crc32c_py(data)
+
+  def test_scan_offsets_parity(self, tmp_path):
+    from xmcgan_image_generation_tpu.data import _native
+    if _native.load() is None:
+      pytest.skip("native fastio unavailable (no C compiler)")
+    path = str(tmp_path / "x.tfrecord")
+    with records.TFRecordWriter(path) as w:
+      for i in range(7):
+        w.write(b"payload" * (i + 1))
+    native = _native.scan_offsets(path)
+    # Force the python path for comparison.
+    py = []
+    import struct
+    size = len(open(path, "rb").read())
+    with open(path, "rb") as f:
+      pos = 0
+      while pos < size:
+        py.append(pos)
+        f.seek(pos)
+        (length,) = struct.unpack("<Q", f.read(8))
+        pos += 8 + 4 + length + 4
+    np.testing.assert_array_equal(native, py)
+
+
 class TestPreprocessing:
 
   def test_deterministic_under_same_rng(self):

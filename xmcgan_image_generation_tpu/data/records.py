@@ -46,13 +46,21 @@ def _crc_table() -> np.ndarray:
   return _CRC_TABLE
 
 
-def crc32c(data: bytes) -> int:
-  """CRC32C checksum (pure python; used for writes and optional verify)."""
+def _crc32c_py(data: bytes) -> int:
+  """Table-driven pure-python CRC32C (fallback; ~MB/s)."""
   table = _crc_table()
   crc = 0xFFFFFFFF
   for b in data:
     crc = (crc >> 8) ^ int(table[(crc ^ b) & 0xFF])
   return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes) -> int:
+  """CRC32C checksum; native slicing-by-8 when libfastio is available."""
+  from xmcgan_image_generation_tpu.data import _native
+
+  value = _native.crc32c(data)
+  return _crc32c_py(data) if value is None else value
 
 
 def masked_crc(data: bytes) -> int:
@@ -247,6 +255,11 @@ class TFRecordWriter:
 
 def _scan_offsets(path: str) -> np.ndarray:
   """Builds the record-offset index by hopping over length headers."""
+  from xmcgan_image_generation_tpu.data import _native
+
+  native = _native.scan_offsets(path)
+  if native is not None:
+    return native
   offsets = []
   size = os.path.getsize(path)
   with open(path, "rb") as f:

@@ -25,20 +25,22 @@ class BasicBlock(nn.Module):
   filters: int
   norm: Any
   strides: Tuple[int, int] = (1, 1)
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
+    nn_conv = functools.partial(nn.Conv, dtype=self.dtype)
     residual = x
-    y = nn.Conv(self.filters, (3, 3), strides=self.strides, use_bias=False,
+    y = nn_conv(self.filters, (3, 3), strides=self.strides, use_bias=False,
                 name="conv1")(x)
     y = self.norm(name="bn1")(y)
     y = nn.relu(y)
-    y = nn.Conv(self.filters, (3, 3), use_bias=False, name="conv2")(y)
+    y = nn_conv(self.filters, (3, 3), use_bias=False, name="conv2")(y)
     # Zero-init the last BN scale (Fixup-style residual init).
     y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
     if residual.shape != y.shape:
-      residual = nn.Conv(self.filters, (1, 1), strides=self.strides,
-                         use_bias=False, name="proj_conv")(residual)
+      residual = nn_conv(self.filters, (1, 1), strides=self.strides,
+                          use_bias=False, name="proj_conv")(residual)
       residual = self.norm(name="proj_bn")(residual)
     return nn.relu(residual + y)
 
@@ -49,22 +51,24 @@ class BottleneckBlock(nn.Module):
   filters: int
   norm: Any
   strides: Tuple[int, int] = (1, 1)
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
+    nn_conv = functools.partial(nn.Conv, dtype=self.dtype)
     residual = x
-    y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+    y = nn_conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
     y = self.norm(name="bn1")(y)
     y = nn.relu(y)
-    y = nn.Conv(self.filters, (3, 3), strides=self.strides, use_bias=False,
+    y = nn_conv(self.filters, (3, 3), strides=self.strides, use_bias=False,
                 name="conv2")(y)
     y = self.norm(name="bn2")(y)
     y = nn.relu(y)
-    y = nn.Conv(4 * self.filters, (1, 1), use_bias=False, name="conv3")(y)
+    y = nn_conv(4 * self.filters, (1, 1), use_bias=False, name="conv3")(y)
     y = self.norm(name="bn3")(y)
     if residual.shape != y.shape:
-      residual = nn.Conv(4 * self.filters, (1, 1), strides=self.strides,
-                         use_bias=False, name="proj_conv")(residual)
+      residual = nn_conv(4 * self.filters, (1, 1), strides=self.strides,
+                          use_bias=False, name="proj_conv")(residual)
       residual = self.norm(name="proj_bn")(residual)
     return nn.relu(residual + y)
 
@@ -83,14 +87,18 @@ class ResNet(nn.Module):
   block_cls: Callable
   stage_sizes: Sequence[int]
   width_factor: int = 1
+  dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, *, train: bool) -> Tuple[Array, Array]:
     width = 64 * self.width_factor
     norm = functools.partial(
-        nn.BatchNorm, use_running_average=not train, momentum=0.9)
-    x = nn.Conv(width, (7, 7), strides=(2, 2), use_bias=False,
-                name="init_conv")(x)
+        nn.BatchNorm, use_running_average=not train, momentum=0.9,
+        dtype=self.dtype)
+    conv = functools.partial(nn.Conv, dtype=self.dtype)
+    x = x.astype(self.dtype)
+    x = conv(width, (7, 7), strides=(2, 2), use_bias=False,
+             name="init_conv")(x)
     x = norm(name="init_bn")(x)
     x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
     for i, stage_size in enumerate(self.stage_sizes):
@@ -98,11 +106,11 @@ class ResNet(nn.Module):
         strides = (2, 2) if i > 0 and j == 0 else (1, 1)
         x = self.block_cls(
             filters=width * 2**i, norm=norm, strides=strides,
-            name=f"stage{i + 1}_block{j + 1}")(x)
+            dtype=self.dtype, name=f"stage{i + 1}_block{j + 1}")(x)
     pool = x
     out = jnp.mean(pool, axis=(1, 2))
     out = nn.Dense(self.num_classes, kernel_init=nn.initializers.zeros,
-                   name="head")(out)
+                   dtype=self.dtype, name="head")(out)
     return pool, out
 
 

@@ -34,6 +34,7 @@ class FrozenTowerState:
 def get_pretrained_model(
     model_name: str = "resnet50",
     checkpoint_path: Optional[str] = None,
+    dtype: Any = jnp.bfloat16,
 ) -> Tuple[nn.Module, FrozenTowerState]:
   """Builds the frozen tower and loads (or randomly inits) its weights.
 
@@ -48,7 +49,10 @@ def get_pretrained_model(
   """
   if model_name != "resnet50":
     raise ValueError(f"Model {model_name!r} not supported.")
-  model = resnet_v1.ResNet50(num_classes=1000)
+  # bf16 compute by default: the tower is frozen inference inside the
+  # train step (MXU-friendly); the contrastive loss casts its 1000-d
+  # outputs back to f32.
+  model = resnet_v1.ResNet50(num_classes=1000, dtype=dtype)
   # Jitted init: one program instead of one device dispatch per layer.
   variables = jax.jit(functools.partial(model.init, train=False))(
       jax.random.PRNGKey(42),
