@@ -187,6 +187,24 @@ class TestAttention:
     np.testing.assert_allclose(got_loss, want_loss, rtol=1e-4)
 
 
+class TestAttentionHelpers:
+
+  def test_cosine_similarity(self):
+    x1 = jnp.array([[3.0, 4.0], [1.0, 0.0]])
+    x2 = jnp.array([[3.0, 4.0], [0.0, 2.0]])
+    got = attn_ops.cosine_similarity(x1, x2)
+    np.testing.assert_allclose(got, [1.0, 0.0], atol=1e-6)
+
+  def test_attention_word_context_shapes(self):
+    key = jax.random.PRNGKey(0)
+    region = jax.random.normal(key, (2, 9, 8))
+    word = jax.random.normal(jax.random.fold_in(key, 1), (2, 5, 8))
+    ctx = attn_ops.attention(region, word, 5.0)
+    assert ctx.shape == (2, 5, 8)  # per-word region context
+    ctx2 = attn_ops.attention_for_word(region, word)
+    assert ctx2.shape == (2, 9, 8)  # per-region word context
+
+
 class TestPooling:
 
   def test_dsample_even_is_plain_mean(self):

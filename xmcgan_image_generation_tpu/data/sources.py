@@ -23,7 +23,28 @@ from xmcgan_image_generation_tpu.data.preprocessing import decode_png
 COCO_NUM_EXAMPLES = {
     "2014": {"train": 82_783, "val": 40_504},
     "2017": {"train": 116_680, "val": 4_958},
+    "ln": {"train": 134_272, "val": 8_573},  # Localized Narratives.
 }
+
+
+class DataSource:
+  """The random-access source protocol the pipeline consumes.
+
+  The structural equivalent of the reference's `BaseDataset` ABC
+  (reference libml/base_dataset.py:26-101): ``__len__`` plus
+  ``__getitem__(index) -> raw feature dict`` with keys
+  ``image`` (float [0,1] array or PNG bytes), ``caption/embedding
+  [sentence_num, L, D]``, ``caption/max_len [sentence_num]`` and
+  optionally ``caption/text`` / ``image/filename``.  Any object with this
+  shape (and a stable ``__repr__`` — grain fingerprints it in checkpoint
+  state) plugs into `pipeline.create_datasets`.
+  """
+
+  def __len__(self) -> int:
+    raise NotImplementedError
+
+  def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    raise NotImplementedError
 
 
 class COCORecordSource:

@@ -111,4 +111,26 @@ def create_train_state(
         ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
     )
 
-  return generator, discriminator, _init(g_rng, d_rng, z_rng)
+  state = _init(g_rng, d_rng, z_rng)
+  log_parameter_overview(state.g_params, "generator")
+  log_parameter_overview(state.d_params, "discriminator")
+  return generator, discriminator, state
+
+
+def log_parameter_overview(params: Any, name: str) -> None:
+  """Logs per-module and total parameter counts.
+
+  The clu.parameter_overview equivalent (reference train_utils.py:177-180).
+  """
+  import logging
+
+  log = logging.getLogger("xmcgan_tpu")
+  flat = jax.tree_util.tree_flatten_with_path(params)[0]
+  total = 0
+  for path, leaf in flat:
+    size = int(leaf.size)
+    total += size
+    log.debug("%s/%s: %s = %d", name,
+              "/".join(str(getattr(p, "key", p)) for p in path),
+              tuple(leaf.shape), size)
+  log.info("%s parameters: %s total", name, f"{total:,}")

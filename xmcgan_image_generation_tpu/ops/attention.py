@@ -48,6 +48,61 @@ def padding_mask(max_len: Array, total_len: int) -> Array:
   return (positions >= max_len).astype(jnp.float32)
 
 
+def cosine_similarity(x1: Array, x2: Array) -> Array:
+  """Row-wise cosine similarity (reference libml/attention_lib.py:23-27,
+  with an eps-guarded denominator)."""
+  dot = jnp.sum(x1 * x2, axis=-1)
+  norm = jnp.linalg.norm(x1, axis=-1) * jnp.linalg.norm(x2, axis=-1)
+  return dot / jnp.maximum(norm, 1e-12)
+
+
+def attention(region_feat: Array, word_feat: Array, gamma: float,
+              mask: Optional[Array] = None) -> Array:
+  """Region attention *for each word* (softmax over regions).
+
+  Returns per-word region context built from the normalized region
+  features; the inner op of `word_loss`.  Parity with reference
+  libml/attention_lib.py:105-127.
+  """
+  rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+  wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+  logits = jnp.einsum("brd,bwd->brw", rn, wn,
+                      preferred_element_type=jnp.float32) * gamma
+  if mask is not None:
+    if mask.ndim == 2:
+      mask = mask[:, None, :]
+    logits = logits + mask.astype(jnp.float32) * NEG_INF
+  alpha = jax.nn.softmax(logits, axis=1)  # over regions
+  return jnp.einsum("brw,brd->bwd", alpha, rn,
+                    preferred_element_type=jnp.float32)
+
+
+def attention_for_word(
+    image_feat: Array,
+    word_feat: Array,
+    mask: Optional[Array] = None,
+    l2_norm: bool = True,
+    temperature: float = 0.1,
+) -> Array:
+  """Word context per region with a plain temperature softmax over words.
+
+  Parity with the reference's (unused but public) helper
+  libml/attention_lib.py:82-102.
+  """
+  if l2_norm:
+    image_feat = l2_normalize(image_feat.astype(jnp.float32), axis=-1)
+    word_feat = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+  logits = jnp.einsum("brd,bwd->brw", image_feat, word_feat,
+                      preferred_element_type=jnp.float32) / temperature
+  if mask is not None:
+    if mask.ndim == 2:
+      mask = mask[:, None, :]
+    logits = logits + mask.astype(jnp.float32) * NEG_INF
+  attn = jax.nn.softmax(logits, axis=-1)
+  return jnp.einsum("brw,bwd->brd", attn, word_feat,
+                    preferred_element_type=jnp.float32)
+
+
 def attention_for_g(
     region_feat: Array,
     word_feat: Array,
