@@ -121,14 +121,17 @@ def _baseline_throughput(args, config, n_steps, n_chips, step, state,
   """
   import os
   cache_path = "/tmp/xmcgan_bench_baseline.json"
+  repo_seed = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_BASELINE.json")
   key = f"{jax.devices()[0].device_kind}|{args.image_size}|{n_chips}"
   cache = {}
-  if os.path.exists(cache_path):
-    try:
-      with open(cache_path) as f:
-        cache = json.load(f)
-    except Exception:  # noqa: BLE001
-      cache = {}
+  for path in (cache_path, repo_seed):
+    if os.path.exists(path):
+      try:
+        with open(path) as f:
+          cache = {**json.load(f), **cache}
+      except Exception:  # noqa: BLE001
+        pass
   if key in cache:
     log(f"baseline (cached): {cache[key]:.2f} images/sec/chip")
     return cache[key]

@@ -94,6 +94,8 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.grain_worker_count = 8
   # Capture a 5-step xprof trace on host 0 early in training.
   config.profile = False
+  # Rematerialize residual blocks (activation memory <-> recompute FLOPs).
+  config.remat = False
   return config
 
 

@@ -18,6 +18,8 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # Paper-scale schedule: larger global batch over the pod slice.
   config.batch_size = 256
   config.eval_batch_size = 64
+  # 256px activations are 4x the 128px config: trade recompute for HBM.
+  config.remat = True
   return config
 
 

@@ -61,6 +61,17 @@ _DISC_DOWNSAMPLE = {
 }
 
 
+def _maybe_remat(config: ml_collections.ConfigDict, block_cls):
+  """Optionally rematerialize residual blocks (``config.remat``).
+
+  Trades recompute FLOPs for activation memory — the standard lever for
+  256px+ configs and long d_step unrolls on small-HBM parts.
+  """
+  if config.get("remat", False):
+    return nn.remat(block_cls)
+  return block_cls
+
+
 def _layer_factories(spectral_norm: bool, train: bool, dtype: Any):
   """Returns (conv_fn, dense_fn) factories, spectrally normalized or plain."""
   if spectral_norm:
@@ -152,7 +163,8 @@ class Generator(nn.Module):
 
     # Two globally-conditioned blocks: 4x4 -> 16x16.
     for i in range(2):
-      x = blocks.GenBlock(gf_dim * channels[i], **block_args)(x, global_cond)
+      x = _maybe_remat(config, blocks.GenBlock)(
+          gf_dim * channels[i], **block_args)(x, global_cond)
 
     # Word-region attention at 16x16 (reference nets/xmc_net.py:220-231).
     region = conv_fn(embedding_dim, kernel_size=(1, 1))(x)
@@ -176,7 +188,8 @@ class Generator(nn.Module):
     # Spatially-conditioned upsampling blocks to the output resolution.
     for i in range(2, len(channels)):
       spatial_cond_up = upsample(spatial_cond)
-      x = blocks.GenSpatialBlock(gf_dim * channels[i], **block_args)(
+      x = _maybe_remat(config, blocks.GenSpatialBlock)(
+          gf_dim * channels[i], **block_args)(
           x, spatial_cond, spatial_cond_up)
       spatial_cond = spatial_cond_up
 
@@ -222,10 +235,11 @@ class Discriminator(nn.Module):
         activation_fn=self.activation_fn, conv_fn=conv_fn, dtype=self.dtype)
 
     x = x.astype(self.dtype)
-    x = blocks.DiscOptimizedBlock(df_dim, **block_args)(x)
+    x = _maybe_remat(config, blocks.DiscOptimizedBlock)(
+        df_dim, **block_args)(x)
     x_cond = None
     for c_ratio, downsample in zip(channels, downsamples):
-      x = blocks.DiscBlock(
+      x = _maybe_remat(config, blocks.DiscBlock)(
           df_dim * c_ratio, downsample=downsample, **block_args)(x)
       if x.shape[1] == cond_size:
         # Snapshot the 16x16 feature map for the word-region loss

@@ -43,6 +43,7 @@ def create_mesh(
   Returns:
     A `jax.sharding.Mesh` with axes ``("data", "model")``.
   """
+  explicit_devices = devices is not None
   if devices is None:
     devices = jax.devices()
   n = len(devices)
@@ -52,6 +53,17 @@ def create_mesh(
     data = n // model
   if data * model != n:
     raise ValueError(f"mesh {data}x{model} != {n} devices")
+  if not explicit_devices:
+    # Topology-aware ordering: lay the axes along the physical ICI torus
+    # so neighboring mesh coordinates are neighboring chips.
+    try:
+      from jax.experimental import mesh_utils
+
+      dev_array = mesh_utils.create_device_mesh((data, model),
+                                                devices=devices)
+      return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    except Exception:  # noqa: BLE001 - fall back to list order.
+      pass
   dev_array = np.asarray(devices).reshape(data, model)
   return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
