@@ -29,6 +29,13 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
+def _is_oom(e: Exception) -> bool:
+  msg = str(e)
+  return any(s in msg for s in (
+      "RESOURCE_EXHAUSTED", "Out of memory", "Ran out of memory",
+      "hbm capacity", "ResourceExhausted"))
+
+
 def build(config, batch_size):
   from xmcgan_image_generation_tpu.engine import create_train_state
   from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
@@ -151,7 +158,7 @@ def _baseline_throughput(args, config, n_steps, n_chips, step, state,
         json.dump(cache, f)
       return ref
     except Exception as e:  # noqa: BLE001
-      if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+      if _is_oom(e):
         log(f"reference-style pmap OOM at batch {bs} "
             "(the reference design does not donate buffers)")
         continue
@@ -195,7 +202,7 @@ def main():
       built = (step, state_copy, super_batch, bs, sec_per_step)
       break
     except Exception as e:  # noqa: BLE001 - OOM fallback
-      if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+      if _is_oom(e):
         log(f"batch {bs} OOM, retrying smaller")
         continue
       raise

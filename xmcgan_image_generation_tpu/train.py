@@ -86,6 +86,10 @@ def train(config: ml_collections.ConfigDict, workdir: str,
   rules = MeshRules.create(config.get("mesh_data", -1),
                            config.get("mesh_model", 1))
   log.info("mesh: %s; %d processes", rules.mesh.shape, jax.process_count())
+  if config.batch_size % rules.data_axis_size:
+    raise ValueError(
+        f"Global batch size {config.batch_size} must be divisible by the "
+        f"data mesh axis ({rules.data_axis_size} devices).")
 
   gan_model = get_gan_algorithm(config)
   additional_data = gan_model.create_additional_data(config)
