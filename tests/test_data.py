@@ -236,6 +236,24 @@ class TestPipeline:
     np.testing.assert_array_equal(b2["image"], b2_again["image"])
     np.testing.assert_array_equal(b2["z"], b2_again["z"])
 
+  def test_device_prefetch_exact_resume(self):
+    """Prefetch lookahead must not skip batches across checkpoint/resume."""
+    import jax
+    from xmcgan_image_generation_tpu.parallel import MeshRules
+
+    config = self._config()
+    rules = MeshRules.create(data=1, devices=jax.devices()[:1])
+    train, _, _ = pipeline.create_datasets(config, seed=0)
+    it = pipeline.DevicePrefetchIterator(iter(train), rules.mesh, size=2)
+    next(it)
+    state = it.get_state()  # Oldest *unconsumed* batch's state.
+    b2 = np.asarray(next(it)["z"])
+
+    it2 = pipeline.DevicePrefetchIterator(iter(train), rules.mesh, size=2)
+    it2.set_state(state)
+    b2_again = np.asarray(next(it2)["z"])
+    np.testing.assert_array_equal(b2, b2_again)
+
   def test_determinism_across_rebuilds(self):
     config = self._config()
     train1, _, _ = pipeline.create_datasets(config, seed=5)

@@ -80,3 +80,21 @@ class TestTrainSmoke:
     config.d_step_per_g_step = 2
     # 64 synthetic examples // (8 * 2) = 4 steps/epoch.
     assert train_lib.compute_num_train_steps(config, 64) == 12
+
+
+class TestGenerateMode:
+
+  def test_generate_from_checkpoint(self, tmp_path):
+    from xmcgan_image_generation_tpu import generate as gen_lib
+    import glob as globlib
+    workdir = str(tmp_path / "exp")
+    config = smoke_config()
+    train_lib.train(config, workdir)
+    out_dir = gen_lib.generate(config, workdir)
+    pngs = globlib.glob(os.path.join(out_dir, "*.png"))
+    assert len(pngs) == 3  # generated, ema, real
+
+  def test_generate_without_checkpoint_raises(self, tmp_path):
+    from xmcgan_image_generation_tpu import generate as gen_lib
+    with pytest.raises(FileNotFoundError):
+      gen_lib.generate(smoke_config(), str(tmp_path / "empty"))

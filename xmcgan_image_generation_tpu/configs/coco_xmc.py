@@ -96,6 +96,8 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.profile = False
   # Rematerialize residual blocks (activation memory <-> recompute FLOPs).
   config.remat = False
+  # Global batches kept resident on the mesh ahead of the step.
+  config.prefetch_batches = 2
   return config
 
 

@@ -143,6 +143,62 @@ def create_datasets(
   return train_loader, eval_loader, num_train
 
 
+class DevicePrefetchIterator:
+  """Device-prefetching wrapper around a grain iterator, exact-resume safe.
+
+  Keeps ``size`` global batches resident on the mesh ahead of consumption,
+  overlapping host decode/augment and host->device transfer with the
+  running step (the role tf.data prefetch plays in the reference).
+
+  Checkpointing: `get_state()` returns the grain state snapshotted
+  *before* the oldest still-buffered batch was produced, so a restore
+  replays exactly the batches the training loop never consumed — no
+  skipped data despite the lookahead.  Duck-types the grain iterator
+  interface, so `utils.checkpoint.CheckpointManager` persists it like the
+  raw iterator.
+  """
+
+  def __init__(self, iterator, mesh, size: int = 2):
+    import collections
+
+    self._it = iterator
+    self._mesh = mesh
+    self._size = max(1, size)
+    self._buf = collections.deque()
+    self._exhausted = False
+
+  def _fill(self) -> None:
+    while not self._exhausted and len(self._buf) < self._size:
+      state = self._it.get_state()
+      try:
+        batch = next(self._it)
+      except StopIteration:
+        self._exhausted = True
+        return
+      self._buf.append((state, host_batch_to_global(batch, self._mesh)))
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    self._fill()
+    if not self._buf:
+      raise StopIteration
+    _, batch = self._buf.popleft()
+    self._fill()  # Kick off the next transfer before returning.
+    return batch
+
+  def get_state(self):
+    if self._buf:
+      return self._buf[0][0]
+    return self._it.get_state()
+
+  def set_state(self, state) -> None:
+    self._buf.clear()
+    self._exhausted = False
+    self._it.set_state(state)
+
+
 def host_batch_to_global(batch: Batch, mesh) -> Any:
   """Assembles per-host arrays into a global array sharded on ``data``.
 

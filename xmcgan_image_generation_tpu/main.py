@@ -26,7 +26,9 @@ _CONFIG = config_flags.DEFINE_config_file(
     "config", None, "Training configuration.", lock_config=True)
 _WORKDIR = flags.DEFINE_string("workdir", None, "Work unit directory.")
 _MODE = flags.DEFINE_string(
-    "mode", "train", "Mode: 'train' or 'test' (continuous eval).")
+    "mode", "train",
+    "Mode: 'train', 'test' (continuous eval), or 'generate' (write sample "
+    "grids from the latest checkpoint).")
 _MULTIPROCESS = flags.DEFINE_bool(
     "multiprocess", False,
     "Call jax.distributed.initialize() for multi-controller runs.")
@@ -52,6 +54,9 @@ def main(argv):
   elif _MODE.value == "test":
     from xmcgan_image_generation_tpu import evaluate as eval_lib
     eval_lib.evaluate_continuously(config, workdir)
+  elif _MODE.value == "generate":
+    from xmcgan_image_generation_tpu import generate as gen_lib
+    gen_lib.generate(config, workdir)
   else:
     raise app.UsageError(f"Unknown --mode {_MODE.value!r}")
 

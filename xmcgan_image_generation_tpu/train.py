@@ -29,7 +29,9 @@ import ml_collections
 import numpy as np
 
 from xmcgan_image_generation_tpu.data import create_datasets
-from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
+from xmcgan_image_generation_tpu.data.pipeline import (
+    DevicePrefetchIterator,
+)
 from xmcgan_image_generation_tpu.engine import (
     create_train_state,
     get_gan_algorithm,
@@ -99,17 +101,18 @@ def train(config: ml_collections.ConfigDict, workdir: str,
 
   train_loader, eval_loader, num_train_examples = create_datasets(
       config, seed=config.seed)
-  train_iter = iter(train_loader)
+  # Device prefetch: overlaps host decode/augment + transfer with the
+  # running step, with exact-resume state snapshots.
+  train_iter = DevicePrefetchIterator(
+      iter(train_loader), rules.mesh,
+      size=config.get("prefetch_batches", 2))
   num_train_steps = 1 if test_mode else compute_num_train_steps(
       config, num_train_examples)
   log.info("num_train_steps=%d (examples=%d)", num_train_steps,
            num_train_examples)
 
   # Initialize model/optimizers from the first sub-batch's shapes.
-  first_host_batch = next(train_iter)
-  init_batch = split_batch(
-      {k: jnp.asarray(v) for k, v in first_host_batch.items()},
-      config.d_step_per_g_step)[0]
+  init_batch = split_batch(next(train_iter), config.d_step_per_g_step)[0]
   generator, discriminator, state = create_train_state(
       config, model_rng, init_batch)
 
@@ -151,8 +154,7 @@ def train(config: ml_collections.ConfigDict, workdir: str,
   for step in range(initial_step, num_train_steps + 1):
     is_last = step == num_train_steps
     with jax.profiler.StepTraceAnnotation("train", step_num=step):
-      host_batch = next(train_iter)
-      batch = host_batch_to_global(host_batch, rules.mesh)
+      batch = next(train_iter)
       step_rng = jax.random.fold_in(train_rng, step)
       state, metrics = step_fn(step_rng, state, batch)
       acc.update(metrics)
