@@ -71,6 +71,21 @@ class TestContrastive:
     loss, _, _ = c_ops.nt_xent(a, a)
     assert loss.dtype == jnp.float32
 
+  def test_grouped_negatives_mean_of_group_losses(self):
+    key = jax.random.PRNGKey(5)
+    a = jax.random.normal(key, (8, 16))
+    b = jax.random.normal(jax.random.fold_in(key, 1), (8, 16))
+    got = c_ops.nt_xent(a, b, group_size=4)
+    want = [c_ops.nt_xent(a[:4], b[:4]), c_ops.nt_xent(a[4:], b[4:])]
+    for i in range(3):
+      np.testing.assert_allclose(
+          float(got[i]), np.mean([float(w[i]) for w in want]), rtol=1e-5)
+
+  def test_grouped_negatives_bad_group_size(self):
+    a = jnp.zeros((6, 4))
+    with pytest.raises(ValueError, match="divisible"):
+      c_ops.nt_xent(a, a, group_size=4)
+
   def test_manual_two_example_value(self):
     a = jnp.array([[1.0, 0.0], [0.0, 1.0]])
     b = jnp.array([[1.0, 0.0], [0.0, 1.0]])
@@ -133,6 +148,17 @@ class TestAttention:
     assert np.isfinite(float(loss))
     assert np.isfinite(float(entropy))
     assert 0.0 <= float(acc) <= 1.0
+
+  def test_word_loss_grouped_matches_per_group(self):
+    key = jax.random.PRNGKey(4)
+    region = jax.random.normal(key, (6, 8, 10))
+    word = jax.random.normal(jax.random.fold_in(key, 1), (6, 5, 10))
+    max_len = jnp.full((6,), 4.0)
+    got = attn_ops.word_loss(region, word, max_len, group_size=3)
+    parts = [attn_ops.word_loss(region[i:i + 3], word[i:i + 3],
+                                max_len[i:i + 3]) for i in (0, 3)]
+    np.testing.assert_allclose(
+        float(got[0]), np.mean([float(p[0]) for p in parts]), rtol=1e-4)
 
   def test_word_loss_matches_reference_vmap_formulation(self):
     """Golden cross-check against a direct transcription of the reference

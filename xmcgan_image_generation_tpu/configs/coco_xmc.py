@@ -79,10 +79,12 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.mesh_model = 1
   # Use Pallas TPU kernels for the fused contrastive / attention ops.
   config.use_pallas = False
-  # Contrastive negative pool: "global" gathers features across the whole
-  # data axis (the sync_match the reference declared but never implemented,
-  # reference libml/attention_lib.py:58-59).
-  config.contrastive_negatives = "global"
+  # Contrastive negative-pool scope: -1 = global batch (the paper's
+  # behavior; the sync_match the reference declared but never implemented,
+  # reference libml/attention_lib.py:58-59).  >0 = contiguous groups of
+  # that many examples, reproducing the reference's de-facto per-device
+  # local pools (set to the per-device batch, e.g. 8).
+  config.contrastive_group_size = -1
   # Data source: "tfrecord" reads the reference-compatible TFRecords from
   # data_dir; "synthetic" produces deterministic random batches (smoke/bench).
   config.data_source = "tfrecord"

@@ -267,14 +267,18 @@ class Discriminator(nn.Module):
       stats[f"image_contrastive_{metric}"] = zero
 
     use_pallas = bool(config.get("use_pallas", False))
+    # Negative-pool scope: -1 = global batch (the paper's behavior, free
+    # under GSPMD); >0 = contiguous groups of that many examples (the
+    # per-device local pools the reference's pmap induced).
+    group = int(config.get("contrastive_group_size", -1))
     real_pool, fake_pool = jnp.split(x_pool, 2)
     if config.sentence_contrastive:
       (stats["fake_sentence_loss"], stats["fake_sentence_acc"],
        stats["fake_sentence_entropy"]) = contrastive_ops.nt_xent(
-           fake_pool, sent_cond, use_pallas=use_pallas)
+           fake_pool, sent_cond, use_pallas=use_pallas, group_size=group)
       (stats["real_sentence_loss"], stats["real_sentence_acc"],
        stats["real_sentence_entropy"]) = contrastive_ops.nt_xent(
-           real_pool, sent_cond, use_pallas=use_pallas)
+           real_pool, sent_cond, use_pallas=use_pallas, group_size=group)
     if config.word_contrastive:
       embedding_dim = word_feat.shape[-1]
       region = conv_fn(embedding_dim, kernel_size=(1, 1))(x_cond)
@@ -283,12 +287,14 @@ class Discriminator(nn.Module):
       real_region, fake_region = jnp.split(region, 2)
       (stats["fake_word_loss"], stats["fake_word_acc"],
        stats["fake_word_entropy"]) = attn_ops.word_loss(
-           fake_region, word_feat, max_len, use_pallas=use_pallas)
+           fake_region, word_feat, max_len, use_pallas=use_pallas,
+           group_size=group)
       (stats["real_word_loss"], stats["real_word_acc"],
        stats["real_word_entropy"]) = attn_ops.word_loss(
-           real_region, word_feat, max_len, use_pallas=use_pallas)
+           real_region, word_feat, max_len, use_pallas=use_pallas,
+           group_size=group)
     if config.image_contrastive:
       (stats["image_contrastive_loss"], stats["image_contrastive_acc"],
        stats["image_contrastive_entropy"]) = contrastive_ops.nt_xent(
-           fake_pool, real_pool, use_pallas=use_pallas)
+           fake_pool, real_pool, use_pallas=use_pallas, group_size=group)
     return out, stats

@@ -149,6 +149,7 @@ def word_loss(
     gamma2: float = 5.0,
     gamma3: float = 50.0,
     use_pallas: bool = False,
+    group_size: int = -1,
 ) -> Tuple[Array, Array, Array]:
   """AttnGAN word-region matching loss over the full batch.
 
@@ -172,7 +173,26 @@ def word_loss(
 
   Returns:
     ``(loss, accuracy, entropy)`` scalars.
+
+  ``group_size > 0`` restricts matching to contiguous example groups (the
+  reference's per-device local pools); -1 matches over the global batch.
   """
+  if group_size and group_size > 0:
+    batch = region_feat.shape[0]
+    if batch % group_size:
+      raise ValueError(
+          f"batch {batch} not divisible by contrastive group_size="
+          f"{group_size}")
+    groups = batch // group_size
+    # Grouped mode stays on the XLA path (pallas_call is not vmappable).
+    per_group = jax.vmap(
+        lambda r, w, m: word_loss(r, w, m, gamma1, gamma2, gamma3))
+    loss, acc, ent = per_group(
+        region_feat.reshape((groups, group_size) + region_feat.shape[1:]),
+        word_feat.reshape((groups, group_size) + word_feat.shape[1:]),
+        jnp.reshape(max_len, (groups, group_size, -1)))
+    return jnp.mean(loss), jnp.mean(acc), jnp.mean(ent)
+
   batch, _, _ = region_feat.shape
   total_len = word_feat.shape[1]
   # mask[j, w]: 1.0 where word w of caption j is padding.

@@ -19,6 +19,7 @@ l2norm -> similarity -> bidirectional CE pipeline
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -58,6 +59,7 @@ def nt_xent(
     l2_norm: bool = True,
     temperature: float = 0.1,
     use_pallas: bool = False,
+    group_size: int = -1,
 ) -> Tuple[Array, Array, Array]:
   """Symmetric InfoNCE between two aligned feature batches.
 
@@ -75,7 +77,27 @@ def nt_xent(
     ``(loss, accuracy, entropy)`` scalars.  ``loss`` is the sum of the two
     directional cross entropies (a->b plus b->a), matching reference
     libml/attention_lib.py:64-79.
+
+  ``group_size > 0`` restricts the negative pool to contiguous groups of
+  that many examples (means of the per-group losses) — the *local*
+  per-device negatives the reference's pmap induces (its default
+  behavior), which under GSPMD sharding costs no cross-device traffic.
+  The default (-1) is the global pool.
   """
+  if group_size and group_size > 0:
+    batch = feat_a.shape[0]
+    if batch % group_size:
+      raise ValueError(
+          f"batch {batch} not divisible by contrastive group_size="
+          f"{group_size}")
+    groups = batch // group_size
+    a = feat_a.reshape(groups, group_size, -1)
+    b = feat_b.reshape(groups, group_size, -1)
+    per_group = jax.vmap(functools.partial(
+        nt_xent, l2_norm=l2_norm, temperature=temperature))
+    loss, acc, ent = per_group(a, b)
+    return jnp.mean(loss), jnp.mean(acc), jnp.mean(ent)
+
   if use_pallas and l2_norm:
     from xmcgan_image_generation_tpu.ops.pallas.ntxent import nt_xent_fused
     return nt_xent_fused(feat_a, feat_b, temperature)
