@@ -22,7 +22,7 @@ from xmcgan_image_generation_tpu.data import create_datasets
 from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
 from xmcgan_image_generation_tpu.engine import create_train_state
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
-from xmcgan_image_generation_tpu.parallel import MeshRules
+from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
 from xmcgan_image_generation_tpu.utils import image_utils
 from xmcgan_image_generation_tpu.utils.checkpoint import (
     CheckpointManager,
@@ -62,11 +62,13 @@ def generate(config: ml_collections.ConfigDict, workdir: str,
     batch = {k: v for k, v in next(eval_iter).items()
              if k not in ("text", "filename")}
     batch = host_batch_to_global(batch, rules.mesh)
-    out = sample_fn(jax.random.fold_in(sample_rng, i), state, batch)
+    out = to_host(sample_fn(
+        jax.random.fold_in(sample_rng, i), state, batch))
+    if jax.process_index() != 0:
+      continue
     for name in ("generated_image", "ema_generated_image", "image"):
       path = os.path.join(out_dir,
                           f"step{step:08d}_batch{i}_{name}.png")
-      image_utils.save_image(np.asarray(out[name]), path,
-                             config.show_num)
+      image_utils.save_image(out[name], path, config.show_num)
   log.info("Wrote samples to %s", out_dir)
   return out_dir

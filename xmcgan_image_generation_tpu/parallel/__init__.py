@@ -4,4 +4,5 @@ from xmcgan_image_generation_tpu.parallel.mesh import (  # noqa: F401
     create_mesh,
     replicated_sharding,
     shard_batch,
+    to_host,
 )

@@ -90,6 +90,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
   return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def to_host(tree: Any) -> Any:
+  """Global device arrays -> host numpy, multi-host safe.
+
+  Data-sharded outputs are not fully addressable from one process; gather
+  them across processes first (single-process: a plain device_get).
+  """
+  import numpy as _np
+
+  if jax.process_count() == 1:
+    return jax.tree_util.tree_map(_np.asarray, tree)
+  from jax.experimental import multihost_utils
+
+  return multihost_utils.process_allgather(tree, tiled=True)
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshRules:
   """Bundles the shardings a training job needs.

@@ -39,7 +39,7 @@ from xmcgan_image_generation_tpu.engine import (
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
 from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
 from xmcgan_image_generation_tpu.models import get_architecture
-from xmcgan_image_generation_tpu.parallel import MeshRules
+from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
 from xmcgan_image_generation_tpu.utils import image_utils
 from xmcgan_image_generation_tpu.utils.checkpoint import (
     CheckpointManager,
@@ -168,7 +168,7 @@ def train(config: ml_collections.ConfigDict, workdir: str,
       vis_batch = split_batch(batch, config.d_step_per_g_step)[0]
       sample = sample_fn(
           jax.random.fold_in(sample_rng, step), state, vis_batch)
-      sample = jax.tree_util.tree_map(np.asarray, sample)
+      sample = to_host(sample)
       writer.write_images(
           step, {
               "generated_image": sample["generated_image"],
