@@ -55,8 +55,10 @@ class COCORecordSource:
   preprocessing transform.
   """
 
-  def __init__(self, file_pattern: str, decode_image: bool = True):
+  def __init__(self, file_pattern: str, decode_image: bool = True,
+               bert_dim: int = 768):
     self._pattern = file_pattern
+    self._bert_dim = bert_dim
     self._files = []
     self._cum = np.zeros(1, np.int64)
     paths = sorted(glob.glob(file_pattern))
@@ -89,7 +91,7 @@ class COCORecordSource:
     }
     n_caps = out["caption/max_len"].shape[0]
     out["caption/embedding"] = out["caption/embedding"].reshape(
-        n_caps, -1, 768)
+        n_caps, -1, self._bert_dim)
     image = feats["image"][0]
     out["image"] = decode_png(image) if self._decode_image else image
     if "caption/text" in feats:

@@ -86,6 +86,10 @@ class EvalMetric:
     self._real_mu, self._real_sigma = self._compute_real_statistics()
 
   def _to_global(self, batch):
+    # Drop non-numeric features (caption text / filenames from
+    # return_text mode) before device placement.
+    batch = {k: v for k, v in batch.items()
+             if np.asarray(v).dtype.kind in "fiub"}
     if self.mesh is None:
       return batch
     from xmcgan_image_generation_tpu.data.pipeline import (
