@@ -19,7 +19,7 @@ redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import grain.python as pg
 import jax

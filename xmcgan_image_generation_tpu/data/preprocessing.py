@@ -11,7 +11,7 @@ from `clu.deterministic_data` (libml/input_pipeline.py:32-34).
 from __future__ import annotations
 
 import io
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

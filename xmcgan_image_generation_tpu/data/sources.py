@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import bisect
 import glob
-from typing import Dict, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -10,7 +10,7 @@ standard BERT ``vocab.txt``.
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 CLS, SEP, UNK, PAD = "[CLS]", "[SEP]", "[UNK]", "[PAD]"
 

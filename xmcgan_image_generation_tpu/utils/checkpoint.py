@@ -11,10 +11,9 @@ iterator.  ``max_to_keep=5`` and save cadence match the reference defaults.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import grain.python as pg
-import jax
 import orbax.checkpoint as ocp
 
 STATE_ITEM = "state"
