@@ -67,6 +67,48 @@ class TestWordScoresKernel:
                                  rtol=5e-3, atol=1e-5)
 
 
+class TestShardedWordScores:
+
+  def test_sharded_matches_unsharded_on_mesh(self):
+    """shard_map dispatch over 8 devices == the single-device kernel."""
+    from xmcgan_image_generation_tpu.parallel import MeshRules, shard_batch
+
+    rules = MeshRules.create()
+    assert rules.data_axis_size == 8
+    region, word, max_len = make_features(batch=16, regions=8, words=4,
+                                          dim=16)
+    mask = attn_ops.padding_mask(max_len, word.shape[1])
+    want = ws_pl.word_scores(region, word, mask, 5.0, 5.0, True)
+
+    scores_fn = ws_pl.make_sharded_word_scores(rules.mesh, interpret=True)
+    region_s = shard_batch(region, rules.mesh)
+    got = jax.jit(scores_fn)(region_s, word, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=1e-5)
+
+  def test_sharded_gradients(self):
+    from xmcgan_image_generation_tpu.parallel import MeshRules
+
+    rules = MeshRules.create()
+    region, word, max_len = make_features(seed=3, batch=8, regions=4,
+                                          words=3, dim=8)
+    mask = attn_ops.padding_mask(max_len, word.shape[1])
+    scores_fn = ws_pl.make_sharded_word_scores(rules.mesh, interpret=True)
+
+    def loss_sharded(r, w):
+      return attn_ops._word_loss_from_scores(scores_fn(r, w, mask)
+                                             * 50.0)[0]
+
+    def loss_ref(r, w):
+      return attn_ops.word_loss(r, w, max_len)[0]
+
+    g_s = jax.grad(loss_sharded, argnums=(0, 1))(region, word)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(region, word)
+    for a, b in zip(g_s, g_r):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=5e-3, atol=1e-5)
+
+
 class TestNTXentKernel:
 
   def test_forward_matches_xla(self):

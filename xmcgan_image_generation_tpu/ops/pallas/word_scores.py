@@ -85,19 +85,25 @@ def _scores_kernel(rn_ref, wn_flat_ref, mask_row_ref, group_ref, out_ref,
 
 
 def _scores_pallas(rn, wn, mask, gamma1, gamma2, interpret=False):
-  """Returns the [image, caption] score matrix s_ij."""
-  batch, regions, dim = rn.shape
-  total_len = wn.shape[1]
-  flat = batch * total_len
+  """Returns the [image, caption] score matrix s_ij.
+
+  Image count (``rn.shape[0]``) and caption count (``wn.shape[0]``) may
+  differ — under sharded dispatch each device holds an image shard but
+  all captions.
+  """
+  num_images, regions, dim = rn.shape
+  num_caps, total_len, _ = wn.shape
+  flat = num_caps * total_len
   wn_flat = wn.reshape(flat, dim)
   mask_row = mask.reshape(1, flat)
   # group[c*L + w, c'] = 1 iff c == c'.
-  group = jnp.repeat(jnp.eye(batch, dtype=jnp.float32), total_len, axis=0)
+  group = jnp.repeat(jnp.eye(num_caps, dtype=jnp.float32), total_len,
+                     axis=0)
   kernel = functools.partial(
       _scores_kernel, gamma1=float(gamma1), gamma2=float(gamma2))
   return pl.pallas_call(
       kernel,
-      grid=(batch,),
+      grid=(num_images,),
       in_specs=[
           pl.BlockSpec((1, regions, dim), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
@@ -105,12 +111,12 @@ def _scores_pallas(rn, wn, mask, gamma1, gamma2, interpret=False):
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, flat), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((flat, batch), lambda i: (0, 0),
+          pl.BlockSpec((flat, num_caps), lambda i: (0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((batch, batch), lambda i: (0, 0),
+      out_specs=pl.BlockSpec((num_images, num_caps), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((batch, batch), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((num_images, num_caps), jnp.float32),
       interpret=interpret,
   )(rn, wn_flat, mask_row, group)
 
@@ -183,3 +189,63 @@ def _word_scores_bwd(gamma1, gamma2, interpret, residuals, g):
 
 
 word_scores.defvjp(_word_scores_fwd, _word_scores_bwd)
+
+
+def make_sharded_word_scores(mesh, data_axis: str = "data",
+                             gamma1: float = 5.0, gamma2: float = 5.0,
+                             interpret=None):
+  """Builds a shard_map-dispatched variant of `word_scores` for a mesh.
+
+  Each device runs the Pallas kernel over its local image shard against
+  the all-gathered caption features (captions are tiny: L x D per
+  example), producing its rows of the score matrix — the kernel never
+  sees non-addressable data, and the [B, B] output stays sharded on the
+  image axis until the caller's softmax.  Backward recomputes through the
+  chunked XLA formulation on global arrays (as the unsharded variant).
+
+  Returns a function ``(region_feat, word_feat, mask) -> scores_ji``.
+  """
+  from jax.sharding import PartitionSpec as P
+  from xmcgan_image_generation_tpu.ops.pallas import default_interpret
+
+  if interpret is None:
+    interpret = default_interpret()
+
+  def _local(rn_local, wn_full, mask_full):
+    return _scores_pallas(rn_local, wn_full, mask_full, gamma1, gamma2,
+                          interpret=interpret)
+
+  sharded = jax.shard_map(
+      _local,
+      mesh=mesh,
+      in_specs=(P(data_axis), P(), P()),
+      out_specs=P(data_axis),
+      # pallas_call outputs carry no varying-mesh-axes metadata.
+      check_vma=False,
+  )
+
+  @functools.partial(jax.custom_vjp)
+  def scores(region_feat, word_feat, mask):
+    rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+    wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+    return sharded(rn, wn, mask.astype(jnp.float32)).T
+
+  def fwd(region_feat, word_feat, mask):
+    return scores(region_feat, word_feat, mask), (region_feat, word_feat,
+                                                  mask)
+
+  def bwd(residuals, g):
+    region_feat, word_feat, mask = residuals
+
+    def ref(region_feat, word_feat):
+      rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
+      wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
+      return _scores_xla_chunked(rn, wn, mask.astype(jnp.float32),
+                                 gamma1, gamma2)
+
+    _, vjp_fn = jax.vjp(ref, region_feat, word_feat)
+    d_region, d_word = vjp_fn(g)
+    return d_region, d_word, None
+
+  scores.defvjp(fwd, bwd)
+  return scores
