@@ -98,6 +98,9 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.profile = False
   # Rematerialize residual blocks (activation memory <-> recompute FLOPs).
   config.remat = False
+  # Native-resolution spatial modulation in the generator (mathematically
+  # identical to the reference pipeline; far less HBM traffic and FLOPs).
+  config.fused_spatial_cond = True
   # Global batches kept resident on the mesh ahead of the step.
   config.prefetch_batches = 2
   return config

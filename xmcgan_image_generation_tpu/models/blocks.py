@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from xmcgan_image_generation_tpu.ops.normalization import (
     ConditionalBatchNorm,
+    FusedSpatialModulation,
     LocalConditionalBatchNorm,
 )
 from xmcgan_image_generation_tpu.ops.pooling import dsample, upsample
@@ -137,6 +138,47 @@ class GenBlock(nn.Module):
     x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
     x = ConditionalBatchNorm(
         norm_fn=self.norm_fn, dense_fn=self.dense_fn)(x, cond)
+    x = self.activation_fn(x)
+    x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
+    shortcut = upsample(shortcut)
+    shortcut = self.conv_fn(
+        self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+    return x + shortcut
+
+
+class GenSpatialBlockFused(nn.Module):
+  """`GenSpatialBlock` with native-resolution spatial modulation.
+
+  Exactly the reference block's function (see `FusedSpatialModulation`)
+  but conditioned directly on the 16x16 region-context map and the global
+  vector — the progressively-upsampled ``spatial_cond`` tensors of the
+  reference never exist.  ``factor`` is the input resolution over the
+  context resolution.
+  """
+
+  filters: int
+  conv_fn: Any
+  dense_fn: Any
+  norm_fn: Any
+  factor: int
+  activation_fn: Any = nn.relu
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x: Array, region_ctx: Array,
+               global_cond: Array) -> Array:
+    shortcut = x
+    x = FusedSpatialModulation(
+        norm_fn=self.norm_fn, conv_fn=self.conv_fn,
+        dense_fn=self.dense_fn, factor=self.factor)(
+            x, region_ctx, global_cond)
+    x = self.activation_fn(x)
+    x = upsample(x)
+    x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
+    x = FusedSpatialModulation(
+        norm_fn=self.norm_fn, conv_fn=self.conv_fn,
+        dense_fn=self.dense_fn, factor=2 * self.factor)(
+            x, region_ctx, global_cond)
     x = self.activation_fn(x)
     x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
     shortcut = upsample(shortcut)

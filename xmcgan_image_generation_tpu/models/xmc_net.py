@@ -177,25 +177,39 @@ class Generator(nn.Module):
     region_context = region_context.reshape(
         batch_size, spatial_size, spatial_size, embedding_dim)
 
-    # Spatial conditioning map: per-region word context concat the tiled
-    # global condition (reference nets/xmc_net.py:233-235).
-    tiled_global = jnp.broadcast_to(
-        global_cond[:, None, None, :],
-        (batch_size, spatial_size, spatial_size, global_cond.shape[-1]))
-    spatial_cond = jnp.concatenate(
-        [region_context.astype(self.dtype), tiled_global], axis=-1)
-
-    # Spatially-conditioned upsampling blocks to the output resolution.
-    for i in range(2, len(channels)):
-      spatial_cond_up = upsample(spatial_cond)
-      x = _maybe_remat(config, blocks.GenSpatialBlock)(
-          gf_dim * channels[i], **block_args)(
-          x, spatial_cond, spatial_cond_up)
-      spatial_cond = spatial_cond_up
+    if config.get("fused_spatial_cond", True):
+      # Native-resolution modulation: exactly the reference's function
+      # (see FusedSpatialModulation) with the conditioning kept at 16x16
+      # and the global vector separate — no progressively-upsampled
+      # spatial_cond tensors, no full-resolution 1x1 modulation convs.
+      region_context = region_context.astype(self.dtype)
+      factor = 1
+      for i in range(2, len(channels)):
+        x = _maybe_remat(config, blocks.GenSpatialBlockFused)(
+            gf_dim * channels[i], factor=factor, **block_args)(
+            x, region_context, global_cond)
+        factor *= 2
+      x = normalization.FusedSpatialModulation(
+          norm_fn=norm_fn, conv_fn=conv_fn, dense_fn=dense_fn,
+          factor=factor)(x, region_context, global_cond)
+    else:
+      # Reference-layout pipeline (nets/xmc_net.py:233-241): materialized
+      # concat conditioning, upsampled per block.
+      tiled_global = jnp.broadcast_to(
+          global_cond[:, None, None, :],
+          (batch_size, spatial_size, spatial_size, global_cond.shape[-1]))
+      spatial_cond = jnp.concatenate(
+          [region_context.astype(self.dtype), tiled_global], axis=-1)
+      for i in range(2, len(channels)):
+        spatial_cond_up = upsample(spatial_cond)
+        x = _maybe_remat(config, blocks.GenSpatialBlock)(
+            gf_dim * channels[i], **block_args)(
+            x, spatial_cond, spatial_cond_up)
+        spatial_cond = spatial_cond_up
+      x = LocalConditionalBatchNorm(
+          norm_fn=norm_fn, conv_fn=conv_fn)(x, spatial_cond)
 
     # Output head (reference nets/xmc_net.py:242-247).
-    x = LocalConditionalBatchNorm(
-        norm_fn=norm_fn, conv_fn=conv_fn)(x, spatial_cond)
     x = self.activation_fn(x)
     x = conv_fn(3, kernel_size=(3, 3))(x)
     x = jnp.tanh(x)

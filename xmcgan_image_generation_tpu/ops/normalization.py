@@ -127,6 +127,53 @@ class ConditionalBatchNorm(nn.Module):
     return x * (gamma + 1.0) + beta
 
 
+class FusedSpatialModulation(nn.Module):
+  """LocalConditionalBatchNorm computed at native conditioning resolution.
+
+  Mathematically *identical* to the reference's pipeline — build
+  ``spatial_cond = concat(upsample^k(region_ctx), tile(global_cond))`` and
+  take gamma/beta as 1x1 convs of it (reference nets/xmc_net.py:233-241,
+  libml/layers.py:261-273) — using two exact identities:
+
+    conv1x1(nearest_up(x)) == nearest_up(conv1x1(x))
+    conv1x1(concat(a, tile(g))) == conv1x1_a(a) + dense_g(g) broadcast
+
+  so the modulation convs run on the 16x16 context map instead of the
+  full-resolution concat (up to 1024 channels at 128x128 per block in the
+  reference formulation), and the giant spatial_cond tensors are never
+  materialized.  Parameter count is identical (one kernel split in two).
+
+  Attributes:
+    norm_fn / conv_fn / dense_fn: Layer factories.
+    factor: Nearest-upsample factor from the context resolution to ``x``'s.
+  """
+
+  norm_fn: Any
+  conv_fn: Any
+  dense_fn: Any
+  factor: int = 1
+
+  @nn.compact
+  def __call__(self, x: Array, region_ctx: Array,
+               global_cond: Array) -> Array:
+    from xmcgan_image_generation_tpu.ops.pooling import upsample
+
+    filters = x.shape[-1]
+
+    def modulation(name):
+      local = self.conv_fn(filters, kernel_size=(1, 1), use_bias=False,
+                           name=f"{name}_ctx")(region_ctx)
+      if self.factor > 1:
+        local = upsample(local, self.factor)
+      glob = self.dense_fn(filters, name=f"{name}_global")(global_cond)
+      return local + glob[:, None, None, :]
+
+    gamma = modulation("gamma")
+    beta = modulation("beta")
+    x = self.norm_fn(use_bias=False, use_scale=False)(x)
+    return x * (gamma + 1.0) + beta
+
+
 class LocalConditionalBatchNorm(nn.Module):
   """BatchNorm with *spatial* modulation (attentional self-modulation).
 
