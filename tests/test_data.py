@@ -128,6 +128,30 @@ class TestNativeFastIO:
         pos += 8 + 4 + length + 4
     np.testing.assert_array_equal(native, py)
 
+  def test_truncated_final_record_excluded_both_paths(self, tmp_path):
+    """A truncated trailing record must not leave a bogus index entry, and
+    the python fallback must agree with the C scanner."""
+    from xmcgan_image_generation_tpu.data import _native
+    path = str(tmp_path / "x.tfrecord")
+    with records.TFRecordWriter(path) as w:
+      for i in range(3):
+        w.write(b"payload" * (i + 1))
+    data = open(path, "rb").read()
+    truncated = str(tmp_path / "trunc.tfrecord")
+    # Cut into the middle of the last record's payload.
+    open(truncated, "wb").write(data[:-6])
+    # Force the pure-python path by bypassing the native scanner.
+    import unittest.mock as mock
+    with mock.patch.object(_native, "scan_offsets", lambda p: None):
+      py = records._scan_offsets(truncated)
+    assert len(py) == 2
+    f = records.TFRecordFile(truncated, verify_crc=True)
+    assert len(f) == 2
+    assert f.read(1) == b"payload" * 2
+    if _native.load() is not None:
+      native = _native.scan_offsets(truncated)
+      np.testing.assert_array_equal(native, py)
+
 
 class TestPreprocessing:
 

@@ -114,3 +114,26 @@ class TestFusedSpatialEquivalence:
     np.testing.assert_allclose(np.asarray(img_naive),
                                np.asarray(img_fused),
                                rtol=1e-4, atol=1e-5)
+
+  def test_spectral_norm_forces_reference_layout(self):
+    """With g_spectral_norm the fused identity does not hold (split kernels
+    would be normalized independently) — the generator must fall back to
+    the exact reference-layout pipeline regardless of fused_spatial_cond."""
+    config = coco_xmc.get_test_config()
+    config.g_spectral_norm = True
+    config.fused_spatial_cond = True
+    rng = np.random.default_rng(0)
+    batch = {
+        "embedding": rng.standard_normal((2, 17, BERT_DIM)).astype(
+            np.float32),
+        "sentence_embedding": rng.standard_normal((2, BERT_DIM)).astype(
+            np.float32),
+        "max_len": np.full((2, 1), 9.0, np.float32),
+    }
+    z = rng.standard_normal((2, config.z_dim)).astype(np.float32)
+    gen, _ = get_architecture(config, jnp.float32)
+    gen_vars = jax.jit(gen(train=False).init)(jax.random.PRNGKey(1),
+                                              (batch, z))
+    names = " ".join(flatten(dict(gen_vars["params"])))
+    assert "FusedSpatialModulation" not in names
+    assert "LocalConditionalBatchNorm" in names

@@ -83,8 +83,12 @@ int64_t scan_offsets(const char* path, int64_t* offsets,
     if (fread(header, 1, 8, f) != 8) break;
     uint64_t length;
     memcpy(&length, header, 8);
+    int64_t end = pos + 8 + 4 + (int64_t)length + 4;
+    /* Truncated final record: exclude it (the offset must only be indexed
+     * when the complete frame fits within the file). */
+    if (end > size) break;
     offsets[n++] = pos;
-    pos += 8 + 4 + (int64_t)length + 4;
+    pos = end;
   }
   fclose(f);
   return n;

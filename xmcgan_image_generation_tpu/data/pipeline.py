@@ -54,6 +54,32 @@ class PreprocessTransform(pg.RandomMapTransform):
     )
 
 
+def template_batch(config: ml_collections.ConfigDict,
+                   batch_size: Optional[int] = None) -> Batch:
+  """Zero-filled batch with the loader's exact shapes/dtypes.
+
+  Used for model-initialization shape inference so no data batch has to be
+  consumed (the real-pool FID statistics must see exactly the first
+  ``eval_num`` loader images — reference eval_metrics.py:70-88).
+  """
+  from xmcgan_image_generation_tpu.data import constants
+
+  n = batch_size or config.eval_batch_size
+  s = config.image_size
+  text_len = (constants.LN_MAX_TEXT_LENGTH
+              if config.dataset == "localized_narratives"
+              else constants.COCO_MAX_TEXT_LENGTH)
+  d = constants.PRETRAINED_BERT_DIM
+  return {
+      "image": np.zeros((n, s, s, 3), np.float32),
+      "image_aug": np.zeros((n, s, s, 3), np.float32),
+      "embedding": np.zeros((n, text_len, d), np.float32),
+      "max_len": np.ones((n, 1), np.float32),
+      "sentence_embedding": np.zeros((n, d), np.float32),
+      "z": np.zeros((n, config.z_dim), np.float32),
+  }
+
+
 def _build_source(config: ml_collections.ConfigDict, split: str):
   if config.data_source == "synthetic":
     n = 64 if split == "train" else 32

@@ -265,13 +265,18 @@ def _scan_offsets(path: str) -> np.ndarray:
   with open(path, "rb") as f:
     pos = 0
     while pos < size:
-      offsets.append(pos)
       f.seek(pos)
       header = f.read(8)
       if len(header) < 8:
         break
       (length,) = struct.unpack("<Q", header)
-      pos += 8 + 4 + length + 4
+      end = pos + 8 + 4 + length + 4
+      if end > size:
+        # Truncated final record: exclude it, matching fastio.c's scanner
+        # (which only appends an offset once the full frame fits).
+        break
+      offsets.append(pos)
+      pos = end
   return np.asarray(offsets, np.int64)
 
 

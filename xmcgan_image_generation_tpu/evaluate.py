@@ -18,6 +18,7 @@ import ml_collections
 import numpy as np
 
 from xmcgan_image_generation_tpu.data import create_datasets
+from xmcgan_image_generation_tpu.data.pipeline import template_batch
 from xmcgan_image_generation_tpu.engine import create_train_state
 from xmcgan_image_generation_tpu.parallel import MeshRules
 from xmcgan_image_generation_tpu.utils.checkpoint import (
@@ -49,9 +50,11 @@ def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
   task_manager = TaskManagerWithCsvResults(ckpt_dir)
   writer = MetricWriter(workdir, just_logging=jax.process_index() > 0)
 
-  # Template state for restoration (shapes only).
-  init_batch = {k: jnp.asarray(v) for k, v in next(eval_iter).items()
-                if k not in ("text", "filename")}
+  # Template state for restoration — shapes come from the loader spec, not
+  # from consuming a batch: the real pool must be exactly the first
+  # ``eval_num`` loader images (reference eval_metrics.py:70-88).
+  init_batch = {k: jnp.asarray(v)
+                for k, v in template_batch(config).items()}
   generator, _, template = create_train_state(config, model_rng, init_batch)
   ckpt = CheckpointManager(ckpt_dir, with_data_iter=False)
 

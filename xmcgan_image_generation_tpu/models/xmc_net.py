@@ -177,7 +177,14 @@ class Generator(nn.Module):
     region_context = region_context.reshape(
         batch_size, spatial_size, spatial_size, embedding_dim)
 
-    if config.get("fused_spatial_cond", True):
+    # The fused modulation is only an exact identity when the 1x1 modulation
+    # kernels are NOT spectrally normalized: splitting the concat kernel in
+    # two would spectral-normalize the halves independently, which differs
+    # from the reference's jointly-normalized concat kernel.  With
+    # g_spectral_norm (non-default) we fall back to the reference layout.
+    use_fused = (config.get("fused_spatial_cond", True)
+                 and not config.g_spectral_norm)
+    if use_fused:
       # Native-resolution modulation: exactly the reference's function
       # (see FusedSpatialModulation) with the conditioning kept at 16x16
       # and the global vector separate — no progressively-upsampled

@@ -143,6 +143,13 @@ class FusedSpatialModulation(nn.Module):
   reference formulation), and the giant spatial_cond tensors are never
   materialized.  Parameter count is identical (one kernel split in two).
 
+  Restriction: the identity requires PLAIN 1x1 convs.  Under spectral
+  normalization the two split kernels would be normalized independently,
+  which is NOT equal to jointly normalizing the reference's concat kernel —
+  `Generator` therefore only selects this path when ``g_spectral_norm`` is
+  off (the reference default) and otherwise uses the exact reference-layout
+  `LocalConditionalBatchNorm` pipeline.
+
   Attributes:
     norm_fn / conv_fn / dense_fn: Layer factories.
     factor: Nearest-upsample factor from the context resolution to ``x``'s.

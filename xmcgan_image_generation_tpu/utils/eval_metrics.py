@@ -83,7 +83,17 @@ class EvalMetric:
     self.mesh = mesh
     ckpt = inception_ckpt_path or config.get("inception_ckpt_path", "")
     self._inception = jax.jit(make_inception_fn(ckpt or None))
+    # The jitted sampler is cached per generator function so repeats (and
+    # successive checkpoints) reuse the compiled executable.
+    self._sample_fns: Dict[int, object] = {}
     self._real_mu, self._real_sigma = self._compute_real_statistics()
+
+  def _sample_fn(self, generator_fn):
+    key = id(generator_fn)
+    if key not in self._sample_fns:
+      self._sample_fns[key] = jax.jit(functools.partial(
+          generate_batch, generator=generator_fn, config=self.config))
+    return self._sample_fns[key]
 
   def _to_global(self, batch):
     # Drop non-numeric features (caption text / filenames from
@@ -115,8 +125,7 @@ class EvalMetric:
   def _generated_statistics(self, generator_fn, state, rng):
     """One pass of eval_num generated images -> (FID stats, IS) for both
     normal and EMA weights (reference eval_metrics.py:126-171)."""
-    sample_fn = jax.jit(functools.partial(
-        generate_batch, generator=generator_fn, config=self.config))
+    sample_fn = self._sample_fn(generator_fn)
     pool_stats = {k: fid_lib.StreamingGaussianStats(POOL_DIM)
                   for k in ("normal", "ema")}
     is_stats = {k: fid_lib.StreamingInceptionScore(

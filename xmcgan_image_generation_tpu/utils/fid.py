@@ -20,39 +20,41 @@ Array = jnp.ndarray
 
 
 class StreamingGaussianStats:
-  """Running mean / covariance over feature batches, kept on device.
+  """Running mean / covariance over feature batches.
 
-  ``cov`` matches ``np.cov(x, rowvar=False)`` (ddof=1).
+  Per-batch features are pulled to host and accumulated in ``np.float64``:
+  over 30000x2048 pools the one-pass ``E[XX^T] - mu mu^T`` formula suffers
+  visible cancellation in f32 (x64 is disabled on device), and FID
+  comparisons care about sub-point resolution.  The host GEMM is one
+  ``dim x dim`` product per batch — negligible next to the device work.
+
+  ``cov`` matches ``np.cov(x, rowvar=False)`` (ddof=1) at f64 precision.
   """
 
   def __init__(self, dim: int):
-    self._sum = jnp.zeros((dim,), jnp.float64
-                          if jax.config.jax_enable_x64 else jnp.float32)
-    self._outer = jnp.zeros((dim, dim), self._sum.dtype)
+    self._sum = np.zeros((dim,), np.float64)
+    self._outer = np.zeros((dim, dim), np.float64)
     self._count = 0
 
   def update(self, features: Array, count: Optional[int] = None) -> None:
     """Accumulates a ``[n, dim]`` feature batch (optionally only the first
     ``count`` rows — for trimming the final partial batch)."""
-    features = features.astype(self._sum.dtype)
-    if count is not None and count < features.shape[0]:
-      mask = (jnp.arange(features.shape[0]) < count)[:, None]
-      features = features * mask
-      n = int(count)
-    else:
-      n = features.shape[0]
-    self._sum = self._sum + features.sum(axis=0)
-    self._outer = self._outer + features.T @ features
-    self._count += n
+    from xmcgan_image_generation_tpu.parallel.mesh import to_host
+
+    feats = np.asarray(to_host(features), np.float64)
+    if count is not None and count < feats.shape[0]:
+      feats = feats[:int(count)]
+    self._sum += feats.sum(axis=0)
+    self._outer += feats.T @ feats
+    self._count += feats.shape[0]
 
   def compute(self) -> Tuple[np.ndarray, np.ndarray]:
     """Returns host-side (mu, sigma)."""
     n = self._count
     if n < 2:
       raise ValueError(f"Need >= 2 samples, got {n}")
-    mu = np.asarray(self._sum, np.float64) / n
-    outer = np.asarray(self._outer, np.float64)
-    sigma = (outer - n * np.outer(mu, mu)) / (n - 1)
+    mu = self._sum / n
+    sigma = (self._outer - n * np.outer(mu, mu)) / (n - 1)
     return mu, sigma
 
 
