@@ -205,3 +205,51 @@ class TestCheckpointBridge:
     assert all(float(np.abs(l).max()) == 0.0 for l in mu_leaves)
     nu_leaves = jax.tree_util.tree_leaves(state.g_opt_state[0].nu)
     assert all(float(l.ravel()[0]) == 0.5 for l in nu_leaves)
+
+
+class TestPretrainedResnetNpyBridge:
+
+  def test_reference_format_npy_loads_and_matches_forward(self, tmp_path):
+    """Fabricate a resnet_pretrained.npy with the ACTUAL reference ResNet's
+    variable tree (nested stage{i}/block{j} — reference
+    utils/resnet_v1.py:89-107), load it through our tower, and assert both
+    implementations produce the same features/logits on shared weights."""
+    import flax
+    sys.path.insert(0, REFERENCE)
+    from xmcgan.utils import resnet_v1 as ref_resnet
+    from xmcgan_image_generation_tpu.utils import pretrained
+
+    ref_model = ref_resnet.ResNet50(num_classes=1000)
+    x_small = jnp.ones((1, 64, 64, 3), jnp.float32)
+    ref_vars = jax.jit(
+        lambda k: ref_model.init(k, x_small, train=False))(
+            jax.random.PRNGKey(3))
+    path = str(tmp_path / "resnet_pretrained.npy")
+    payload = {
+        "params": flax.core.unfreeze(ref_vars["params"]),
+        "batch_stats": flax.core.unfreeze(ref_vars["batch_stats"]),
+    }
+    np.save(path, payload, allow_pickle=True)
+
+    model, state = pretrained.get_pretrained_model(
+        "resnet50", path, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (2, 224, 224, 3)).astype(np.float32))
+    pool, out = pretrained.get_pretrained_embs(state, model, images)
+    want_pool, want_out = ref_model.apply(
+        ref_vars, images, train=False, mutable=False)
+    np.testing.assert_allclose(np.asarray(pool), np.asarray(want_pool),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               rtol=1e-4, atol=1e-4)
+
+  def test_incompatible_npy_raises_clear_error(self, tmp_path):
+    from xmcgan_image_generation_tpu.utils import pretrained
+    path = str(tmp_path / "bad.npy")
+    np.save(path, {"params": {"stage1": {"block1": {"conv1": {
+        "kernel": np.zeros((1, 1, 3, 4), np.float32)}}}},
+        "batch_stats": {}}, allow_pickle=True)
+    with pytest.raises(ValueError, match="does not match the model"):
+      pretrained.get_pretrained_model("resnet50", path, dtype=jnp.float32)

@@ -12,6 +12,7 @@ mode the reference's own tests exercise
 from __future__ import annotations
 
 import functools
+import re
 from typing import Any, Optional, Tuple
 
 import flax
@@ -29,6 +30,47 @@ RESNET_IMG_SIZE = 224
 class FrozenTowerState:
   params: Any
   batch_stats: Any
+
+
+def _flatten_reference_stages(tree: Any) -> Any:
+  """Adapts the reference's ``stage{i}/block{j}/...`` param nesting.
+
+  The reference ResNet wraps blocks in a ``ResNetStage`` submodule
+  (reference utils/resnet_v1.py:89-107), so its ``resnet_pretrained.npy``
+  nests as ``stage1 -> block1 -> conv1``.  Our tower names blocks directly
+  (``stage1_block1/conv1`` — models/resnet_v1.py:109).  Both layouts load:
+  nested stage dicts are flattened here; already-flat trees pass through.
+  """
+  if not isinstance(tree, dict):
+    tree = dict(tree)
+  out = {}
+  for key, value in tree.items():
+    if (re.fullmatch(r"stage\d+", key)
+        and hasattr(value, "items")
+        and value
+        and all(re.fullmatch(r"block\d+", b) for b in value)):
+      for block, sub in value.items():
+        out[f"{key}_{block}"] = sub
+    else:
+      out[key] = value
+  return out
+
+
+def _check_tree_compat(loaded: Any, template: Any, what: str) -> None:
+  """Raises with the offending paths if the checkpoint doesn't fit."""
+  l_flat = {"/".join(str(k.key) for k in p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+  t_flat = {"/".join(str(k.key) for k in p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(template)[0]}
+  missing = sorted(set(t_flat) - set(l_flat))
+  extra = sorted(set(l_flat) - set(t_flat))
+  bad_shape = sorted(k for k in set(l_flat) & set(t_flat)
+                     if tuple(l_flat[k]) != tuple(t_flat[k]))
+  if missing or extra or bad_shape:
+    raise ValueError(
+        f"Pretrained {what} does not match the model: "
+        f"missing={missing[:5]} extra={extra[:5]} "
+        f"shape-mismatch={bad_shape[:5]}")
 
 
 def get_pretrained_model(
@@ -62,8 +104,12 @@ def get_pretrained_model(
   if checkpoint_path:
     with open(checkpoint_path, "rb") as f:
       data = np.load(f, allow_pickle=True).item()
-    params = jax.tree_util.tree_map(jnp.asarray, data["params"])
-    batch_stats = jax.tree_util.tree_map(jnp.asarray, data["batch_stats"])
+    loaded_params = _flatten_reference_stages(data["params"])
+    loaded_stats = _flatten_reference_stages(data["batch_stats"])
+    _check_tree_compat(loaded_params, params, "params")
+    _check_tree_compat(loaded_stats, batch_stats, "batch_stats")
+    params = jax.tree_util.tree_map(jnp.asarray, loaded_params)
+    batch_stats = jax.tree_util.tree_map(jnp.asarray, loaded_stats)
   return model, FrozenTowerState(params=params, batch_stats=batch_stats)
 
 
