@@ -59,6 +59,30 @@ class TestRecordCodec:
     f2 = records.TFRecordFile(path)
     np.testing.assert_array_equal(f.offsets, f2.offsets)
 
+  def test_concurrent_reads_thread_safe(self, tmp_path):
+    # grain's prefetch reads records from multiple threads through one
+    # TFRecordFile; positioned reads must never interleave (regression:
+    # the shared-seek implementation returned garbage frames under
+    # concurrency).
+    import concurrent.futures
+
+    path = str(tmp_path / "t.tfrecord")
+    payloads = [bytes([i]) * (100 + 17 * i) for i in range(32)]
+    with records.TFRecordWriter(path) as w:
+      for p in payloads:
+        w.write(p)
+    f = records.TFRecordFile(path, verify_crc=True)
+
+    def read_many(seed):
+      rng = np.random.default_rng(seed)
+      for _ in range(200):
+        i = int(rng.integers(0, len(payloads)))
+        assert f.read(i) == payloads[i]
+      return True
+
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+      assert all(pool.map(read_many, range(8)))
+
   def test_tensorflow_cross_compatibility(self, tmp_path):
     """Our writer's records parse with real TF, and vice versa."""
     tf = pytest.importorskip("tensorflow")
@@ -246,6 +270,52 @@ class TestPipeline:
     ebatch = next(iter(evald))
     assert ebatch["image"].shape == (2, config.image_size,
                                      config.image_size, 3)
+
+  def test_augment_method_knob(self):
+    # config.augment_method reaches the per-example preprocessing
+    # (reference exposes shift/zoom_crop via gin, libml/augmentation.py:25,73).
+    config = self._config()
+    config.augment_method = "zoom_crop"
+    b_zoom = next(iter(pipeline.create_datasets(config, seed=0)[0]))
+    b_zoom2 = next(iter(pipeline.create_datasets(config, seed=0)[0]))
+    np.testing.assert_array_equal(b_zoom["image_aug"], b_zoom2["image_aug"])
+    config.augment_method = "shift"
+    b_shift = next(iter(pipeline.create_datasets(config, seed=0)[0]))
+    # The un-augmented image (flip happens before augment) is unchanged;
+    # the augmented copy differs between methods.
+    np.testing.assert_array_equal(b_zoom["image"], b_shift["image"])
+    assert not np.array_equal(b_zoom["image_aug"], b_shift["image_aug"])
+
+  def test_worker_processes_match_inline(self):
+    # The prod config runs grain with worker processes
+    # (configs/coco_xmc.py grain_worker_count=8).  Workers interleave
+    # per-worker batches, so batch *order* differs from inline execution —
+    # but per-record RNG makes each example bitwise identical, the stream
+    # deterministic, and the transforms must survive the fork/pickle
+    # round-trip.
+    def first_examples(worker_count, n_batches):
+      config = self._config()
+      config.grain_worker_count = worker_count
+      it = iter(pipeline.create_datasets(config, seed=0)[0])
+      out = {}
+      for _ in range(n_batches):
+        batch = next(it)
+        for i in range(batch["image"].shape[0]):
+          key = batch["sentence_embedding"][i].tobytes()
+          out[key] = {k: v[i] for k, v in batch.items()}
+      return out
+
+    inline = first_examples(0, 2)
+    workers = first_examples(2, 2)
+    workers_again = first_examples(2, 2)
+    # Deterministic across runs with the same worker count.
+    assert sorted(workers) == sorted(workers_again)
+    # Same examples as inline (2 workers x 2 batches == inline's first 2
+    # super-batches worth of records), each bitwise identical.
+    assert sorted(inline) == sorted(workers)
+    for key, example in inline.items():
+      for field, value in example.items():
+        np.testing.assert_array_equal(value, workers[key][field])
 
   def test_iterator_checkpoint_resume(self):
     config = self._config()

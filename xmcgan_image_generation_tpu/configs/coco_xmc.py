@@ -88,6 +88,10 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # Data source: "tfrecord" reads the reference-compatible TFRecords from
   # data_dir; "synthetic" produces deterministic random batches (smoke/bench).
   config.data_source = "tfrecord"
+  # DiffAug-style augmentation: "shift" (pad-reflect + crop, the reference
+  # default) or "zoom_crop" (x1.125 zoom + crop) — the knob the reference
+  # exposes via gin (reference libml/augmentation.py:25,73).
+  config.augment_method = "shift"
   # Pretrained tower checkpoints (empty string => random init, which is what
   # the reference tests use, reference utils/pretrained_model_utils_test.py:28-36).
   config.resnet_ckpt_path = ""
@@ -98,6 +102,11 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.profile = False
   # Rematerialize residual blocks (activation memory <-> recompute FLOPs).
   config.remat = False
+  # With remat on, only rematerialize blocks whose feature maps are at or
+  # above this side length (0 = all blocks).  The large scales dominate
+  # activation HBM; keeping the small-scale activations avoids their
+  # recompute for ~no memory cost.
+  config.remat_min_resolution = 0
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).
   config.fused_spatial_cond = True

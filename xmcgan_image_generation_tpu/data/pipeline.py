@@ -41,6 +41,7 @@ class PreprocessTransform(pg.RandomMapTransform):
   sentence_num: int = 5
   return_text: bool = False
   return_filename: bool = False
+  augment_method: str = "shift"
 
   def random_map(self, features, rng: np.random.Generator):
     return preprocessing.preprocess_example(
@@ -51,6 +52,7 @@ class PreprocessTransform(pg.RandomMapTransform):
         sentence_num=self.sentence_num,
         return_text=self.return_text,
         return_filename=self.return_filename,
+        augment_method=self.augment_method,
     )
 
 
@@ -116,6 +118,7 @@ def _make_loader(
       z_dim=config.z_dim,
       return_text=return_text,
       return_filename=config.return_filename,
+      augment_method=config.get("augment_method", "shift"),
   )
   loader = pg.DataLoader(
       data_source=source,

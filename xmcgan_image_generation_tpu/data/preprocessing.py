@@ -89,6 +89,7 @@ def preprocess_example(
     sentence_num: int = 5,
     return_text: bool = False,
     return_filename: bool = False,
+    augment_method: str = "shift",
     dtype: np.dtype = np.float32,
 ) -> Example:
   """Raw record features -> training example.
@@ -108,7 +109,7 @@ def preprocess_example(
   image = resize_bilinear(image, image_size, image_size)
   image = random_flip(image, rng)
   image = np.clip(image, 0.0, 1.0)
-  image_aug = augment(image, rng)
+  image_aug = augment(image, rng, method=augment_method)
 
   embedding = np.asarray(features["caption/embedding"], np.float32)
   max_len = np.asarray(features["caption/max_len"], np.float32)

@@ -308,14 +308,18 @@ class TFRecordFile:
   def read(self, index: int) -> bytes:
     if self._file is None:  # Lazy per-process open (fork-safe for grain).
       self._file = open(self.path, "rb")
-    self._file.seek(int(self.offsets[index]))
-    header = self._file.read(8)
+    # Positioned reads (pread): no shared seek state, so concurrent reads
+    # from grain's prefetch threads are safe on the one file handle.
+    fd = self._file.fileno()
+    offset = int(self.offsets[index])
+    header = os.pread(fd, 8, offset)
     (length,) = struct.unpack("<Q", header)
-    self._file.read(4)  # length crc
-    data = self._file.read(length)
-    crc = self._file.read(4)
-    if self.verify_crc and _CRC_STRUCT.unpack(crc)[0] != masked_crc(data):
-      raise IOError(f"CRC mismatch in {self.path} record {index}")
+    frame = os.pread(fd, 4 + length + 4, offset + 8)
+    data = frame[4:4 + length]
+    if self.verify_crc:
+      (crc,) = _CRC_STRUCT.unpack(frame[4 + length:])
+      if crc != masked_crc(data):
+        raise IOError(f"CRC mismatch in {self.path} record {index}")
     return data
 
   def __getstate__(self):

@@ -61,7 +61,10 @@ class COCORecordSource:
     self._bert_dim = bert_dim
     self._files = []
     self._cum = np.zeros(1, np.int64)
-    paths = sorted(glob.glob(file_pattern))
+    # Exclude the reader's own ``.idx`` offset-index sidecars, which the
+    # shard glob would otherwise pick up as (garbage) record files.
+    paths = sorted(p for p in glob.glob(file_pattern)
+                   if not p.endswith(".idx"))
     if not paths:
       raise FileNotFoundError(
           f"No TFRecord shards match {file_pattern!r}")
@@ -106,7 +109,11 @@ def coco_file_pattern(data_dir: str, coco_version: str, split: str) -> str:
   if split not in ("train", "val"):
     raise ValueError(f"Expected split in ['train', 'val'], got {split!r}")
   name = "validation" if split == "val" else split
-  return f"{data_dir}*{coco_version}*{name}.tfrecord*"
+  # os.path.join tolerates data_dir with or without a trailing slash (the
+  # reference concatenates raw, requiring the slash — coco_dataset.py:115).
+  import os
+
+  return os.path.join(data_dir, f"*{coco_version}*{name}.tfrecord*")
 
 
 class SyntheticXMCSource:
