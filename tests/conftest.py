@@ -35,3 +35,13 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
   config.addinivalue_line("markers", "slow: long-running test")
+
+
+@pytest.fixture(autouse=True)
+def _reset_ambient_mesh():
+  """MeshRules.create registers a process-global ambient mesh; isolate
+  tests from each other's mesh registrations."""
+  yield
+  from xmcgan_image_generation_tpu.parallel import context
+
+  context.set_ambient_mesh(None)

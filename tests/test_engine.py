@@ -226,6 +226,41 @@ class TestTrainStep:
       np.testing.assert_allclose(x, y, rtol=0, atol=2.5e-4)
 
 
+class TestPallasStep:
+
+  def test_pallas_step_sharded_matches_xla(self):
+    """`use_pallas=True` as a configuration of the FULL jitted train step
+    over the 8-device mesh: the fused word-scores kernel dispatches through
+    shard_map (ambient mesh) and must reproduce the XLA path's losses."""
+    config = tiny_config(d_step_per_g_step=1, batch_size=8)
+    super_batch = make_batch(config, 8)
+    generator, discriminator, state = create_train_state(
+        config, jax.random.PRNGKey(0), super_batch)
+
+    def run(use_pallas, state):
+      cfg = tiny_config(d_step_per_g_step=1, batch_size=8,
+                        use_pallas=use_pallas)
+      rules = MeshRules.create()  # registers the ambient mesh
+      assert rules.data_axis_size == 8
+      step_fn = jax.jit(functools.partial(
+          train_step,
+          generator=generator,
+          discriminator=discriminator,
+          config=cfg,
+          additional_data={},
+      ))
+      sharded = shard_batch(super_batch, rules.mesh)
+      new_state, metrics = step_fn(jax.random.PRNGKey(1), state, sharded)
+      return new_state, {k: float(v) for k, v in metrics.items()}
+
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, m_xla = run(False, state)
+    _, m_pl = run(True, state_copy)
+    for k in m_xla:
+      np.testing.assert_allclose(m_pl[k], m_xla[k], rtol=2e-3, atol=2e-3,
+                                 err_msg=k)
+
+
 class TestSampling:
 
   def test_generate_batch(self):

@@ -200,10 +200,27 @@ def word_loss(
 
   if use_pallas:
     from xmcgan_image_generation_tpu.ops.pallas.word_scores import (
+        make_sharded_word_scores,
         word_scores,
     )
-    scores_ji = word_scores(region_feat, word_feat, mask, gamma1,
-                            gamma2) * gamma3
+    from xmcgan_image_generation_tpu.parallel import context as mesh_context
+    from xmcgan_image_generation_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_context.get_ambient_mesh()
+    data_size = (int(mesh.shape.get(mesh_lib.DATA_AXIS, 1))
+                 if mesh is not None else 1)
+    if data_size > 1 and batch % data_size == 0:
+      # Explicit shard_map dispatch over the ambient mesh: each device
+      # runs the kernel on its image shard against the all-gathered
+      # captions, producing its rows of the [B, B] score matrix — no
+      # redundant whole-batch grids per device, no all-gather of the
+      # [B, R, D] region features.
+      scores_fn = make_sharded_word_scores(
+          mesh, gamma1=gamma1, gamma2=gamma2)
+      scores_ji = scores_fn(region_feat, word_feat, mask) * gamma3
+    else:
+      scores_ji = word_scores(region_feat, word_feat, mask, gamma1,
+                              gamma2) * gamma3
     return _word_loss_from_scores(scores_ji)
 
   rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)

@@ -16,8 +16,10 @@ The backward pass recomputes through a j-chunked XLA formulation under
 `jax.custom_vjp` (frozen-tower-style recompute: HBM is the bottleneck, not
 FLOPs).
 
-Used when ``config.use_pallas`` is set; inputs must be replicated (the
-single-chip layout).  Sharded dispatch via shard_map is future work.
+Used when ``config.use_pallas`` is set.  Under a multi-device mesh,
+`ops.attention.word_loss` dispatches through `make_sharded_word_scores`
+(shard_map over the ambient mesh, one image shard per device) instead of
+the replicated single-chip path.
 """
 
 from __future__ import annotations

@@ -6,3 +6,8 @@ from xmcgan_image_generation_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     to_host,
 )
+from xmcgan_image_generation_tpu.parallel.context import (  # noqa: F401
+    ambient_mesh,
+    get_ambient_mesh,
+    set_ambient_mesh,
+)

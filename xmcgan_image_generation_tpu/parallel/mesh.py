@@ -123,6 +123,11 @@ class MeshRules:
   def create(cls, data: int = -1, model: int = 1,
              devices: Optional[Sequence[jax.Device]] = None) -> "MeshRules":
     mesh = create_mesh(data, model, devices=devices)
+    # Register the mesh so ops with explicit shard_map dispatch (the
+    # sharded Pallas kernels) can pick it up at trace time.
+    from xmcgan_image_generation_tpu.parallel import context
+
+    context.set_ambient_mesh(mesh)
     return cls(
         mesh=mesh,
         batch=batch_sharding(mesh),
