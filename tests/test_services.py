@@ -102,6 +102,40 @@ class TestMetricWriter:
       rows = [json.loads(l) for l in f]
     assert rows == [{"step": 1, "loss": 2.5}, {"step": 2, "loss": 2.0}]
 
+  def test_tensorboard_events_readable_by_tf(self, tmp_path):
+    """Our hand-encoded event files must parse with TensorFlow's own
+    summary iterator (which also validates the masked-crc framing)."""
+    tf = pytest.importorskip("tensorflow")
+    import glob
+
+    w = MetricWriter(str(tmp_path))
+    w.write_scalars(3, {"loss": 1.5, "acc": 0.25})
+    rng = np.random.default_rng(0)
+    batch = rng.uniform(0, 1, (4, 8, 8, 3)).astype(np.float32)
+    w.write_images(3, {"generated": batch})
+    w.close()
+
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = list(tf.compat.v1.train.summary_iterator(files[0]))
+    assert events[0].file_version == "brain.Event:2"
+    scalars = {v.tag: (e.step, v.simple_value)
+               for e in events for v in e.summary.value
+               if v.HasField("simple_value")}
+    assert scalars["loss"] == (3, 1.5)
+    assert scalars["acc"] == (3, 0.25)
+    images = [(e.step, v.tag, v.image) for e in events
+              for v in e.summary.value if v.HasField("image")]
+    assert len(images) == 1
+    step, tag, img = images[0]
+    assert (step, tag) == (3, "generated")
+    # 4 images of 8x8 tile into a 16x16 grid.
+    assert (img.height, img.width, img.colorspace) == (16, 16, 3)
+    decoded = tf.io.decode_png(img.encoded_image_string).numpy()
+    grid = image_utils.make_grid(batch)
+    np.testing.assert_array_equal(
+        decoded, np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8))
+
   def test_just_logging_writes_nothing(self, tmp_path):
     w = MetricWriter(str(tmp_path / "x"), just_logging=True)
     w.write_scalars(1, {"a": 1.0})

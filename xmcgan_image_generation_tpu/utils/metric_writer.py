@@ -22,15 +22,29 @@ log = logging.getLogger("xmcgan_tpu")
 
 
 class MetricWriter:
-  """Writes scalar dicts to ``metrics.jsonl`` and images to PNGs."""
+  """Writes scalar dicts to ``metrics.jsonl`` and images to PNGs.
 
-  def __init__(self, workdir: str, just_logging: bool = False):
+  When ``tensorboard`` is set (the default) the same scalars and image
+  grids are additionally written as TensorBoard event files (the
+  reference's output format, train_utils.py:399-403), so TB dashboards
+  pointed at the workdir keep working.
+  """
+
+  def __init__(self, workdir: str, just_logging: bool = False,
+               tensorboard: bool = True):
     self.workdir = workdir
     self.just_logging = just_logging
+    self._tb = None
     if not just_logging:
       os.makedirs(workdir, exist_ok=True)
       os.makedirs(os.path.join(workdir, "images"), exist_ok=True)
       self._f = open(os.path.join(workdir, "metrics.jsonl"), "a")
+      if tensorboard:
+        from xmcgan_image_generation_tpu.utils.tb_writer import (
+            EventFileWriter,
+        )
+
+        self._tb = EventFileWriter(workdir)
     else:
       self._f = None
 
@@ -41,6 +55,9 @@ class MetricWriter:
     if self._f is not None:
       self._f.write(json.dumps({"step": int(step), **scalars}) + "\n")
       self._f.flush()
+    if self._tb is not None:
+      self._tb.write_scalars(step, scalars)
+      self._tb.flush()
 
   def write_images(self, step: int,
                    images: Mapping[str, np.ndarray],
@@ -50,7 +67,12 @@ class MetricWriter:
     for name, batch in images.items():
       path = os.path.join(self.workdir, "images",
                           f"{name}_{int(step):08d}.png")
-      image_utils.save_image(np.asarray(batch), path, max_images)
+      grid = image_utils.make_grid(np.asarray(batch), max_images)
+      image_utils.save_image(grid, path)
+      if self._tb is not None:
+        self._tb.write_image(step, name, grid)
+    if self._tb is not None:
+      self._tb.flush()
 
   def write_hparams(self, hparams: Mapping) -> None:
     log.info("hparams: %s", dict(hparams))
@@ -62,10 +84,14 @@ class MetricWriter:
   def flush(self) -> None:
     if self._f is not None:
       self._f.flush()
+    if self._tb is not None:
+      self._tb.flush()
 
   def close(self) -> None:
     if self._f is not None:
       self._f.close()
+    if self._tb is not None:
+      self._tb.close()
 
 
 def _jsonable(v):
