@@ -19,7 +19,11 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.batch_size = 256
   config.eval_batch_size = 64
   # 256px activations are 4x the 128px config: trade recompute for HBM.
+  # Selective: only the two largest scales (128/256) are rematerialized —
+  # they hold ~3/4 of the activation bytes; recomputing the small scales
+  # buys almost no memory.
   config.remat = True
+  config.remat_min_resolution = 128
   return config
 
 

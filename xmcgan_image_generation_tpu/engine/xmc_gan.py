@@ -73,16 +73,21 @@ def pretrained_contrastive(additional_data: Dict[str, Any],
   model = additional_data["image_model"]
   state = additional_data["image_model_state"]
 
-  # Rematerialize the frozen tower: its 224x224 activations for a full
-  # batch dominate live memory in the backward pass, and recomputing one
-  # frozen ResNet-50 forward is cheap next to holding it (HBM is the
+  # Rematerialize the frozen tower on the *fake* branch only: its 224x224
+  # activations for a full batch dominate live memory in the backward pass
+  # (gradients flow through the tower into the generator) and recomputing
+  # one frozen ResNet-50 forward is cheap next to holding it (HBM is the
   # bottleneck, not MXU FLOPs).
   @jax.checkpoint
   def _embs(images):
     _, out = pretrained.get_pretrained_embs(state, model, images)
     return out
 
-  real_out = _embs(real_images)
+  # The real branch carries no gradients at all (frozen weights, data
+  # inputs): stop_gradient + no checkpoint means XLA keeps only the tiny
+  # [B, 1000] output and never re-runs this forward in the backward pass.
+  real_out = jax.lax.stop_gradient(
+      pretrained.get_pretrained_embs(state, model, real_images)[1])
   fake_out = _embs(fake_images)
   loss, _, _ = contrastive_ops.nt_xent(real_out, fake_out)
   return loss

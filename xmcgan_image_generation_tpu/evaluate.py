@@ -75,7 +75,10 @@ def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
         "eval/ema_inception_score": ema_is,
         "eval/ema_inception_score_std": ema_is_std,
     }
-    task_manager.add_eval_result(step, result)
+    if jax.process_index() == 0:
+      # One writer: every process polls/evaluates in lockstep (the FID
+      # pools are gathered collectively), but the CSV append is host-side.
+      task_manager.add_eval_result(step, result)
     writer.write_scalars(step, result)
   writer.flush()
   ckpt.close()

@@ -32,6 +32,13 @@ _MODE = flags.DEFINE_string(
 _MULTIPROCESS = flags.DEFINE_bool(
     "multiprocess", False,
     "Call jax.distributed.initialize() for multi-controller runs.")
+_BACKEND_TARGET = flags.DEFINE_string(
+    "jax_backend_target", None,
+    "JAX backend target (e.g. a remote runtime address) — passthrough "
+    "parity with the reference (reference main.py:46-50).")
+_XLA_BACKEND = flags.DEFINE_string(
+    "jax_xla_backend", None,
+    "JAX platform name to force (e.g. 'cpu', 'tpu').")
 flags.mark_flags_as_required(["config", "workdir"])
 
 
@@ -40,6 +47,10 @@ def main(argv):
   logging.basicConfig(
       level=logging.INFO,
       format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+  if _BACKEND_TARGET.value:
+    jax.config.update("jax_backend_target", _BACKEND_TARGET.value)
+  if _XLA_BACKEND.value:
+    jax.config.update("jax_platforms", _XLA_BACKEND.value)
   if _MULTIPROCESS.value:
     jax.distributed.initialize()
   logging.info("JAX process: %d / %d", jax.process_index(),

@@ -61,15 +61,24 @@ _DISC_DOWNSAMPLE = {
 }
 
 
-def _maybe_remat(config: ml_collections.ConfigDict, block_cls):
+def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
+                 resolution: int = 0):
   """Optionally rematerialize residual blocks (``config.remat``).
 
   Trades recompute FLOPs for activation memory — the standard lever for
   256px+ configs and long d_step unrolls on small-HBM parts.
+
+  ``resolution`` is the block's largest feature-map side; with
+  ``config.remat_min_resolution > 0`` only blocks at or above that scale
+  are rematerialized (selective remat: the large-scale activations
+  dominate HBM, the small-scale ones are cheap to keep).
   """
-  if config.get("remat", False):
-    return nn.remat(block_cls)
-  return block_cls
+  if not config.get("remat", False):
+    return block_cls
+  min_res = config.get("remat_min_resolution", 0)
+  if min_res and resolution and resolution < min_res:
+    return block_cls
+  return nn.remat(block_cls)
 
 
 def _layer_factories(spectral_norm: bool, train: bool, dtype: Any):
@@ -163,7 +172,7 @@ class Generator(nn.Module):
 
     # Two globally-conditioned blocks: 4x4 -> 16x16.
     for i in range(2):
-      x = _maybe_remat(config, blocks.GenBlock)(
+      x = _maybe_remat(config, blocks.GenBlock, 4 * 2 ** (i + 1))(
           gf_dim * channels[i], **block_args)(x, global_cond)
 
     # Word-region attention at 16x16 (reference nets/xmc_net.py:220-231).
@@ -192,7 +201,8 @@ class Generator(nn.Module):
       region_context = region_context.astype(self.dtype)
       factor = 1
       for i in range(2, len(channels)):
-        x = _maybe_remat(config, blocks.GenSpatialBlockFused)(
+        x = _maybe_remat(config, blocks.GenSpatialBlockFused,
+                         4 * 2 ** (i + 1))(
             gf_dim * channels[i], factor=factor, **block_args)(
             x, region_context, global_cond)
         factor *= 2
@@ -209,7 +219,7 @@ class Generator(nn.Module):
           [region_context.astype(self.dtype), tiled_global], axis=-1)
       for i in range(2, len(channels)):
         spatial_cond_up = upsample(spatial_cond)
-        x = _maybe_remat(config, blocks.GenSpatialBlock)(
+        x = _maybe_remat(config, blocks.GenSpatialBlock, 4 * 2 ** (i + 1))(
             gf_dim * channels[i], **block_args)(
             x, spatial_cond, spatial_cond_up)
         spatial_cond = spatial_cond_up
@@ -256,12 +266,15 @@ class Discriminator(nn.Module):
         activation_fn=self.activation_fn, conv_fn=conv_fn, dtype=self.dtype)
 
     x = x.astype(self.dtype)
-    x = _maybe_remat(config, blocks.DiscOptimizedBlock)(
+    x = _maybe_remat(config, blocks.DiscOptimizedBlock, config.image_size)(
         df_dim, **block_args)(x)
     x_cond = None
+    resolution = config.image_size // 2
     for c_ratio, downsample in zip(channels, downsamples):
-      x = _maybe_remat(config, blocks.DiscBlock)(
+      x = _maybe_remat(config, blocks.DiscBlock, resolution)(
           df_dim * c_ratio, downsample=downsample, **block_args)(x)
+      if downsample:
+        resolution //= 2
       if x.shape[1] == cond_size:
         # Snapshot the 16x16 feature map for the word-region loss
         # (reference nets/xmc_net.py:94-95).
