@@ -136,7 +136,14 @@ class TestMultiHostEvalService:
               stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
           for pid in range(2)
       ]
-      outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+      try:
+        # First 2-process eval compiles the Inception/FID graphs for the
+        # 4-device topology on this 1-core box — generous timeout.
+        outs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+      finally:
+        for p in procs:
+          if p.poll() is None:
+            p.kill()
       for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"{name} proc {pid} failed:\n{out[-4000:]}"
 

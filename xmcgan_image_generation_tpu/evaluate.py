@@ -34,11 +34,46 @@ from xmcgan_image_generation_tpu.utils.task_manager import (
 log = logging.getLogger("xmcgan_tpu")
 
 
+def _synchronized_steps(task_manager, timeout: int):
+  """Yields checkpoint steps to evaluate, identically on every process.
+
+  Each process polling the directory independently races (process 0 can
+  score a checkpoint and append scores.csv before process 1 even lists
+  it, leaving process 1 with nothing to evaluate while process 0 waits in
+  the FID all-gather).  Process 0 is the single decision-maker; the step
+  sequence is broadcast, with -1 as the end-of-service sentinel.
+  """
+  if jax.process_count() == 1:
+    yield from task_manager.unevaluated_checkpoints(timeout=timeout)
+    return
+  from jax.experimental import multihost_utils
+
+  if jax.process_index() == 0:
+    for step in task_manager.unevaluated_checkpoints(timeout=timeout):
+      multihost_utils.broadcast_one_to_all(np.int64(step))
+      yield step
+    multihost_utils.broadcast_one_to_all(np.int64(-1))
+  else:
+    while True:
+      step = int(multihost_utils.broadcast_one_to_all(np.int64(0)))
+      if step < 0:
+        return
+      yield step
+
+
 def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
                           timeout: int = 24 * 3600) -> None:
   """Runs the checkpoint-polling FID/IS service against ``workdir``."""
   rules = MeshRules.create(config.get("mesh_data", -1),
                            config.get("mesh_model", 1))
+  if jax.process_count() > 1:
+    # Establish the cross-process collective channels while the processes
+    # are still in lockstep: gloo context creation has a short rendezvous
+    # window, and the service's later collectives run after minutes of
+    # per-process compile/compute whose skew could exceed it.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("eval_service_start")
   rng = jax.random.PRNGKey(config.seed)
   rng, eval_rng, model_rng = jax.random.split(rng, 3)
 
@@ -58,10 +93,10 @@ def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
   generator, _, template = create_train_state(config, model_rng, init_batch)
   ckpt = CheckpointManager(ckpt_dir, with_data_iter=False)
 
-  for step in task_manager.unevaluated_checkpoints(timeout=timeout):
+  for step in _synchronized_steps(task_manager, timeout):
     log.info("Evaluating checkpoint at step %d", step)
-    state = ckpt.restore(step, template)
-    state = jax.device_put(state, rules.replicated)
+    # Restore straight into the replicated mesh sharding (multi-host safe).
+    state = ckpt.restore(step, template, sharding=rules.replicated)
     (fid, fid_std, inception_score, inception_score_std,
      ema_fid, ema_fid_std, ema_is, ema_is_std) = (
          eval_metric.calculate_inception_fid(generator, state, eval_rng))

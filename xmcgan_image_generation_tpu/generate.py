@@ -50,7 +50,7 @@ def generate(config: ml_collections.ConfigDict, workdir: str,
   step = step if step is not None else ckpt.latest_step()
   if step is None:
     raise FileNotFoundError(f"No checkpoints in {checkpoints_dir(workdir)}")
-  state = jax.device_put(ckpt.restore(step, template), rules.replicated)
+  state = ckpt.restore(step, template, sharding=rules.replicated)
   ckpt.close()
   log.info("Generating from checkpoint step %d", step)
 

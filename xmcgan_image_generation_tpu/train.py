@@ -118,9 +118,11 @@ def train(config: ml_collections.ConfigDict, workdir: str,
 
   ckpt = CheckpointManager(checkpoints_dir(workdir))
   task_manager = TaskManagerWithCsvResults(checkpoints_dir(workdir))
-  state = ckpt.restore_or_initialize(state, train_iter)
+  # A restore lands straight on the mesh (multi-host safe); fresh init is
+  # placed by the device_put below (a no-op after a restore).
+  state = ckpt.restore_or_initialize(state, train_iter,
+                                     sharding=rules.replicated)
   initial_step = int(state.step) + 1
-  # Place (replicate) the state on the mesh.
   state = jax.device_put(state, rules.replicated)
 
   step_fn = jax.jit(

@@ -48,8 +48,23 @@ class CheckpointManager:
 
   def restore(
       self, step: int, state_template: Any,
-      data_iter: Optional[pg.PyGrainDatasetIterator] = None) -> Any:
-    """Restores state (and, in place, the data iterator) at ``step``."""
+      data_iter: Optional[pg.PyGrainDatasetIterator] = None,
+      *, sharding: Any = None) -> Any:
+    """Restores state (and, in place, the data iterator) at ``step``.
+
+    With ``sharding`` set, arrays are restored directly into that
+    `jax.sharding` (each process reads its shards from the shared
+    checkpoint) — required multi-host, where a restore onto local devices
+    followed by a re-placement would need cross-host transfers the
+    backend may not support.
+    """
+    if sharding is not None:
+      import jax
+
+      state_template = jax.tree_util.tree_map(
+          lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                         sharding=sharding),
+          state_template)
     items = {STATE_ITEM: ocp.args.StandardRestore(state_template)}
     if self._with_data and data_iter is not None:
       items[DATA_ITEM] = pg.PyGrainCheckpointRestore(data_iter)
@@ -58,7 +73,8 @@ class CheckpointManager:
 
   def restore_or_initialize(
       self, state: Any,
-      data_iter: Optional[pg.PyGrainDatasetIterator] = None) -> Any:
+      data_iter: Optional[pg.PyGrainDatasetIterator] = None,
+      *, sharding: Any = None) -> Any:
     """Restores the latest checkpoint if one exists, else returns ``state``.
 
     Parity with `restore_or_initialize` (reference train_utils.py:375).
@@ -66,7 +82,7 @@ class CheckpointManager:
     step = self.latest_step()
     if step is None:
       return state
-    return self.restore(step, state, data_iter)
+    return self.restore(step, state, data_iter, sharding=sharding)
 
   def latest_step(self) -> Optional[int]:
     return self._mngr.latest_step()

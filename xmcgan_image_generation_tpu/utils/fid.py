@@ -19,6 +19,52 @@ import numpy as np
 Array = jnp.ndarray
 
 
+def local_rows(features, count: Optional[int] = None) -> np.ndarray:
+  """This process's rows of a (possibly multi-process global) [n, d] array.
+
+  Restricted to the first ``count`` *global* rows when given.  Replicated
+  shards are deduplicated by their global index range.  Multi-host eval
+  accumulates statistics from locally-addressable shards only — no
+  per-batch cross-process gathers (the merge happens once, in the
+  accumulator's ``compute``).
+  """
+  if isinstance(features, jax.Array) and not features.is_fully_addressable:
+    parts = []
+    seen_ranges = set()
+    for shard in features.addressable_shards:
+      sl = shard.index[0] if shard.index else slice(None)
+      start = sl.start or 0
+      data = np.asarray(shard.data)
+      stop = start + data.shape[0]
+      if (start, stop) in seen_ranges:
+        continue  # Replicated shard: same global rows on another device.
+      seen_ranges.add((start, stop))
+      if count is not None:
+        capped = min(stop, int(count))
+        if capped <= start:
+          continue
+        data = data[:capped - start]
+      parts.append(data)
+    if not parts:
+      return np.zeros((0,) + features.shape[1:], np.float64)
+    return np.concatenate(parts)
+  feats = np.asarray(features)
+  if count is not None and int(count) < feats.shape[0]:
+    feats = feats[:int(count)]
+  return feats
+
+
+def _allreduce_sum_across_processes(*arrays):
+  """Sums host numpy values across JAX processes (single merge collective)."""
+  if jax.process_count() == 1:
+    return arrays
+  from jax.experimental import multihost_utils
+
+  gathered = multihost_utils.process_allgather(
+      tuple(np.asarray(a) for a in arrays))
+  return tuple(np.sum(g, axis=0) for g in gathered)
+
+
 class StreamingGaussianStats:
   """Running mean / covariance over feature batches.
 
@@ -27,6 +73,10 @@ class StreamingGaussianStats:
   visible cancellation in f32 (x64 is disabled on device), and FID
   comparisons care about sub-point resolution.  The host GEMM is one
   ``dim x dim`` product per batch — negligible next to the device work.
+
+  Multi-host: each process accumulates only its addressable shards; the
+  cross-process sum happens once in ``compute`` (a [dim] + [dim, dim]
+  collective), never per batch.
 
   ``cov`` matches ``np.cov(x, rowvar=False)`` (ddof=1) at f64 precision.
   """
@@ -39,22 +89,20 @@ class StreamingGaussianStats:
   def update(self, features: Array, count: Optional[int] = None) -> None:
     """Accumulates a ``[n, dim]`` feature batch (optionally only the first
     ``count`` rows — for trimming the final partial batch)."""
-    from xmcgan_image_generation_tpu.parallel.mesh import to_host
-
-    feats = np.asarray(to_host(features), np.float64)
-    if count is not None and count < feats.shape[0]:
-      feats = feats[:int(count)]
+    feats = local_rows(features, count).astype(np.float64)
     self._sum += feats.sum(axis=0)
     self._outer += feats.T @ feats
     self._count += feats.shape[0]
 
   def compute(self) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns host-side (mu, sigma)."""
-    n = self._count
+    """Returns host-side (mu, sigma), merged across processes."""
+    total_sum, total_outer, n = _allreduce_sum_across_processes(
+        self._sum, self._outer, np.int64(self._count))
+    n = int(n)
     if n < 2:
       raise ValueError(f"Need >= 2 samples, got {n}")
-    mu = self._sum / n
-    sigma = (self._outer - n * np.outer(mu, mu)) / (n - 1)
+    mu = total_sum / n
+    sigma = (total_outer - n * np.outer(mu, mu)) / (n - 1)
     return mu, sigma
 
 
@@ -103,9 +151,10 @@ def calculate_fid(pool1: np.ndarray, pool2: np.ndarray) -> float:
 class StreamingInceptionScore:
   """Running split-KL Inception Score over probability batches.
 
-  The per-split score only needs ``sum(p log p)`` and ``sum(p)`` — both
-  accumulate on device (reference tf_inception_utils.py:206-224 holds the
-  full logits matrix instead).
+  The per-split score only needs ``sum(p log p)`` and ``sum(p)`` — host
+  float64 accumulators over each process's local shards (reference
+  tf_inception_utils.py:206-224 holds the full logits matrix instead).
+  The cross-process merge happens once, in ``compute``.
   """
 
   def __init__(self, num_classes: int = 1000, num_splits: int = 1,
@@ -114,31 +163,35 @@ class StreamingInceptionScore:
     self.total = total
     self._split_of = (lambda i: 0) if num_splits == 1 else (
         lambda i: min(i * num_splits // max(total, 1), num_splits - 1))
-    dt = jnp.float32
-    self._plogp = [jnp.zeros((), dt) for _ in range(num_splits)]
-    self._psum = [jnp.zeros((num_classes,), dt) for _ in range(num_splits)]
-    self._counts = [0] * num_splits
+    self._plogp = np.zeros((num_splits,), np.float64)
+    self._psum = np.zeros((num_splits, num_classes), np.float64)
+    self._counts = np.zeros((num_splits,), np.int64)
     self._seen = 0
 
   def update(self, probs: Array, count: Optional[int] = None) -> None:
-    """Accumulates a ``[n, classes]`` batch of softmax probabilities."""
+    """Accumulates a ``[n, classes]`` batch of softmax probabilities.
+
+    The whole batch is assigned to the split of its first global row
+    (batch sizes are tiny next to the 30000-image pool).
+    """
     n = probs.shape[0] if count is None else int(count)
-    probs = probs[:n].astype(jnp.float32)
+    local = local_rows(probs, n).astype(np.float64)
     split = self._split_of(self._seen)
-    self._plogp[split] = self._plogp[split] + jnp.sum(
-        probs * jnp.log(probs + 1e-16))
-    self._psum[split] = self._psum[split] + probs.sum(axis=0)
-    self._counts[split] += n
+    self._plogp[split] += np.sum(local * np.log(local + 1e-16))
+    self._psum[split] += local.sum(axis=0)
+    self._counts[split] += local.shape[0]
     self._seen += n
 
   def compute(self) -> Tuple[float, float]:
+    plogp, psum, counts = _allreduce_sum_across_processes(
+        self._plogp, self._psum, self._counts)
     scores = []
     for s in range(self.num_splits):
-      n = self._counts[s]
+      n = int(counts[s])
       if not n:
         continue
-      mean_p = np.asarray(self._psum[s], np.float64) / n
-      mean_plogp = float(self._plogp[s]) / n
+      mean_p = psum[s] / n
+      mean_plogp = float(plogp[s]) / n
       kl = mean_plogp - float(np.sum(mean_p * np.log(mean_p + 1e-16)))
       scores.append(np.exp(kl))
     return float(np.mean(scores)), float(np.std(scores))

@@ -18,8 +18,6 @@ import os
 import time
 from typing import Dict, Iterable, Iterator, List, Optional, Set
 
-from xmcgan_image_generation_tpu.utils.checkpoint import CheckpointManager
-
 log = logging.getLogger("xmcgan_tpu")
 
 TRAIN_DONE_MARKER = "TRAIN_DONE"
@@ -45,16 +43,24 @@ class TaskManager:
                                        TRAIN_DONE_MARKER))
 
   def _list_steps(self) -> List[int]:
+    """Committed checkpoint steps, by filesystem listing only.
+
+    Deliberately does NOT construct an Orbax manager: in a multiprocess
+    JAX runtime that performs distributed barrier syncs, and the polling
+    loop runs on process 0 alone (evaluate._synchronized_steps) — an
+    asymmetric barrier deadlocks the service.  Orbax commits a step by
+    atomically renaming its tmp directory to the bare step number, so a
+    digit-named directory with checkpoint metadata is a committed step.
+    """
     if not os.path.isdir(self.checkpoint_dir):
       return []
-    try:
-      mngr = CheckpointManager(self.checkpoint_dir, with_data_iter=False)
-      steps = mngr.all_steps()
-      mngr.close()
-      return steps
-    except Exception as e:  # Directory mid-write etc.
-      log.warning("Could not list checkpoints: %s", e)
-      return []
+    steps = []
+    for name in os.listdir(self.checkpoint_dir):
+      path = os.path.join(self.checkpoint_dir, name)
+      if (name.isdigit() and os.path.isdir(path)
+          and os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))):
+        steps.append(int(name))
+    return sorted(steps)
 
   def unevaluated_checkpoints(
       self,
