@@ -257,24 +257,38 @@ def main():
                            "(informational; dispatch-dominated here)")
   parser.add_argument("--use_pallas", action="store_true",
                       help="enable the fused Pallas kernels in the step")
+  parser.add_argument("--remat_min_resolution", type=int, default=None,
+                      help="force remat on, rematerializing only blocks "
+                           "at/above this feature-map side (0 = all)")
   args = parser.parse_args()
-
-  from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
 
   n_steps = args.steps or (3 if args.quick else 10)
   n_chips = jax.device_count()
   log(f"devices: {jax.devices()}")
 
+  if args.image_size == 256:
+    # The paper 256px configuration (selective remat etc.).
+    from xmcgan_image_generation_tpu.configs.coco_xmc_256 import get_config
+  else:
+    from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
   config = get_config()
   config.image_size = args.image_size
   config.data_source = "synthetic"
   if args.use_pallas:
     config.use_pallas = True
+  if args.remat_min_resolution is not None:
+    config.remat = True
+    config.remat_min_resolution = args.remat_min_resolution
 
   # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
-  # with chip count, with OOM fallback for small-HBM parts.
-  candidates = ([args.batch_size] if args.batch_size
-                else [56 * max(1, n_chips // 8), 28, 14])
+  # with chip count, with OOM fallback for small-HBM parts.  256px fits
+  # batch ~16 on a 16GB chip with selective remat.
+  if args.batch_size:
+    candidates = [args.batch_size]
+  elif args.image_size >= 256:
+    candidates = [16 * max(1, n_chips), 8]
+  else:
+    candidates = [56 * max(1, n_chips // 8), 28, 14]
   built = None
   for bs in candidates:
     try:
