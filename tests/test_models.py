@@ -131,6 +131,38 @@ class TestGeneratorForward:
     assert not np.allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
 
 
+class TestSelectiveRemat:
+
+  def test_selective_remat_is_numerically_identity(self):
+    """remat (blanket or selective-by-resolution) must not change the
+    forward values — it only trades recompute for activation memory."""
+    config = coco_xmc.get_test_config()
+    batch, z, gen_fn, _, g_vars, _ = init_g_d(config)
+
+    plain = gen_fn(train=False).apply(g_vars, (batch, z), mutable=False)
+    for min_res in (0, 16):
+      cfg = coco_xmc.get_test_config()
+      cfg.remat = True
+      cfg.remat_min_resolution = min_res
+      gen_r, _ = get_architecture(cfg, jnp.float32)
+      out = gen_r(train=False).apply(g_vars, (batch, z), mutable=False)
+      np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+  def test_remat_threshold_param_structure_unchanged(self):
+    # Remat wrapping must not disturb the parameter tree (checkpoint
+    # compatibility between remat settings).
+    config = coco_xmc.get_test_config()
+    _, _, _, _, g_vars, d_vars = init_g_d(config)
+    cfg = coco_xmc.get_test_config()
+    cfg.remat = True
+    cfg.remat_min_resolution = 16
+    batch, z, _, _, g_vars_r, d_vars_r = init_g_d(cfg)
+    assert (jax.tree_util.tree_structure(g_vars)
+            == jax.tree_util.tree_structure(g_vars_r))
+    assert (jax.tree_util.tree_structure(d_vars)
+            == jax.tree_util.tree_structure(d_vars_r))
+
+
 class TestDiscriminatorForward:
 
   def test_logit_and_statistics(self):

@@ -142,6 +142,20 @@ class TestMetricWriter:
     w.write_images(1, {"img": np.zeros((2, 4, 4, 3))})
     assert not os.path.exists(str(tmp_path / "x"))
 
+  def test_profile_hook_writes_trace(self, tmp_path):
+    from xmcgan_image_generation_tpu.utils.metric_writer import Profile
+    import glob
+    import jax
+    import jax.numpy as jnp
+
+    hook = Profile(str(tmp_path), profile_step=1, num_profile_steps=1)
+    for step in range(1, 4):
+      jax.jit(lambda x: x * 2)(jnp.ones((4,))).block_until_ready()
+      hook(step)
+    assert hook._done
+    assert glob.glob(str(tmp_path / "plugins" / "profile" / "*")), \
+        "no xprof trace written"
+
   def test_accumulator_running_mean(self):
     acc = MetricAccumulator()
     acc.update({"a": 1.0, "b": 10.0})

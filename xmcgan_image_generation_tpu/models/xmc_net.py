@@ -170,10 +170,14 @@ class Generator(nn.Module):
     x = dense_fn(gf_dim * 16 * 4 * 4)(z)
     x = x.reshape(-1, 4, 4, gf_dim * 16)
 
-    # Two globally-conditioned blocks: 4x4 -> 16x16.
+    # Two globally-conditioned blocks: 4x4 -> 16x16.  Explicit names keep
+    # the param tree identical whether or not a block is rematerialized
+    # (nn.remat would otherwise rename the scope to Checkpoint<Class>_N,
+    # breaking checkpoint compatibility across remat settings).
     for i in range(2):
       x = _maybe_remat(config, blocks.GenBlock, 4 * 2 ** (i + 1))(
-          gf_dim * channels[i], **block_args)(x, global_cond)
+          gf_dim * channels[i], name=f"GenBlock_{i}",
+          **block_args)(x, global_cond)
 
     # Word-region attention at 16x16 (reference nets/xmc_net.py:220-231).
     region = conv_fn(embedding_dim, kernel_size=(1, 1))(x)
@@ -203,7 +207,8 @@ class Generator(nn.Module):
       for i in range(2, len(channels)):
         x = _maybe_remat(config, blocks.GenSpatialBlockFused,
                          4 * 2 ** (i + 1))(
-            gf_dim * channels[i], factor=factor, **block_args)(
+            gf_dim * channels[i], factor=factor,
+            name=f"GenSpatialBlockFused_{i - 2}", **block_args)(
             x, region_context, global_cond)
         factor *= 2
       x = normalization.FusedSpatialModulation(
@@ -220,7 +225,8 @@ class Generator(nn.Module):
       for i in range(2, len(channels)):
         spatial_cond_up = upsample(spatial_cond)
         x = _maybe_remat(config, blocks.GenSpatialBlock, 4 * 2 ** (i + 1))(
-            gf_dim * channels[i], **block_args)(
+            gf_dim * channels[i], name=f"GenSpatialBlock_{i - 2}",
+            **block_args)(
             x, spatial_cond, spatial_cond_up)
         spatial_cond = spatial_cond_up
       x = LocalConditionalBatchNorm(
@@ -266,13 +272,15 @@ class Discriminator(nn.Module):
         activation_fn=self.activation_fn, conv_fn=conv_fn, dtype=self.dtype)
 
     x = x.astype(self.dtype)
+    # Explicit names: remat must not change the param tree (see Generator).
     x = _maybe_remat(config, blocks.DiscOptimizedBlock, config.image_size)(
-        df_dim, **block_args)(x)
+        df_dim, name="DiscOptimizedBlock_0", **block_args)(x)
     x_cond = None
     resolution = config.image_size // 2
-    for c_ratio, downsample in zip(channels, downsamples):
+    for i, (c_ratio, downsample) in enumerate(zip(channels, downsamples)):
       x = _maybe_remat(config, blocks.DiscBlock, resolution)(
-          df_dim * c_ratio, downsample=downsample, **block_args)(x)
+          df_dim * c_ratio, downsample=downsample, name=f"DiscBlock_{i}",
+          **block_args)(x)
       if downsample:
         resolution //= 2
       if x.shape[1] == cond_size:
