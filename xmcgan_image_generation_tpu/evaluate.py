@@ -9,7 +9,6 @@ metric writer, and exit on timeout or TRAIN_DONE.
 
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

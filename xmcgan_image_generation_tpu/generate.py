@@ -16,7 +16,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import ml_collections
-import numpy as np
 
 from xmcgan_image_generation_tpu.data import create_datasets
 from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global

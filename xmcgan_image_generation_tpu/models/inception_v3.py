@@ -11,7 +11,7 @@ this wrong shifts FID by whole points (reference inception_arch.py:49-67).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

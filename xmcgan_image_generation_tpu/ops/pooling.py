@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 from jax import lax
 import jax.numpy as jnp
 

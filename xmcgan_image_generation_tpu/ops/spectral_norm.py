@@ -21,7 +21,6 @@ from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 from flax.linen.initializers import normal, zeros
-import jax
 from jax import lax
 import jax.numpy as jnp
 

@@ -21,12 +21,9 @@ import functools
 import logging
 import os
 import time
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import ml_collections
-import numpy as np
 
 from xmcgan_image_generation_tpu.data import create_datasets
 from xmcgan_image_generation_tpu.data.pipeline import (
@@ -38,9 +35,7 @@ from xmcgan_image_generation_tpu.engine import (
 )
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
 from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
-from xmcgan_image_generation_tpu.models import get_architecture
 from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
-from xmcgan_image_generation_tpu.utils import image_utils
 from xmcgan_image_generation_tpu.utils.checkpoint import (
     CheckpointManager,
     checkpoints_dir,

@@ -20,7 +20,7 @@ The on-disk format is the msgpack blob `clu.checkpoint` writes with
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
