@@ -238,5 +238,11 @@ def host_batch_to_global(batch: Batch, mesh) -> Any:
   from jax.sharding import NamedSharding, PartitionSpec as P
 
   sharding = NamedSharding(mesh, P("data"))
-  return jax.tree_util.tree_map(
-      lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
+
+  def place(x):
+    x = np.asarray(x)
+    if x.dtype.kind not in "fiub":
+      return x  # Caption text / filenames stay host-side.
+    return jax.make_array_from_process_local_data(sharding, x)
+
+  return jax.tree_util.tree_map(place, batch)

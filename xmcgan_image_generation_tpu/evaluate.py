@@ -78,6 +78,15 @@ def evaluate_continuously(config: ml_collections.ConfigDict, workdir: str,
 
   _, eval_loader, _ = create_datasets(config, seed=config.seed)
   eval_iter = iter(eval_loader)
+  if not config.return_text:
+    # Overlap host decode with device compute across the 30k-image pools
+    # (text/filename fields cannot be device-prefetched).
+    from xmcgan_image_generation_tpu.data.pipeline import (
+        DevicePrefetchIterator,
+    )
+
+    eval_iter = DevicePrefetchIterator(
+        eval_iter, rules.mesh, size=config.get("prefetch_batches", 2))
 
   eval_metric = EvalMetric(eval_iter, config, mesh=rules.mesh)
   ckpt_dir = checkpoints_dir(workdir)

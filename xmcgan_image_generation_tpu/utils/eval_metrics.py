@@ -96,11 +96,16 @@ class EvalMetric:
     return self._sample_fns[key]
 
   def _to_global(self, batch):
-    # Drop non-numeric features (caption text / filenames from
-    # return_text mode) before device placement.
+    # Already-placed batches (a DevicePrefetchIterator upstream) pass
+    # through; host batches drop non-numeric features (caption text /
+    # filenames from return_text mode) and get placed on the mesh.
+    import jax as _jax
+
     batch = {k: v for k, v in batch.items()
-             if np.asarray(v).dtype.kind in "fiub"}
-    if self.mesh is None:
+             if isinstance(v, _jax.Array)
+             or np.asarray(v).dtype.kind in "fiub"}
+    if self.mesh is None or all(
+        isinstance(v, _jax.Array) for v in batch.values()):
       return batch
     from xmcgan_image_generation_tpu.data.pipeline import (
         host_batch_to_global,
