@@ -12,6 +12,50 @@ import pytest
 from xmcgan_image_generation_tpu.utils import fid as fid_lib
 
 
+class _FakeShard:
+  """Stand-in for jax.Shard: (index, data)."""
+
+  def __init__(self, start, data):
+    self.index = (slice(start, start + data.shape[0]),
+                  slice(None))
+    self.data = data
+
+
+class TestLocalRows:
+  """The shard-walking core of the multi-host statistics accumulators."""
+
+  def _shards(self, rows, starts):
+    return [_FakeShard(s, rows[s:s + 2]) for s in starts]
+
+  def test_concatenates_owned_shards(self):
+    rows = np.arange(12, dtype=np.float32).reshape(6, 2)
+    got = fid_lib._rows_from_shards(self._shards(rows, [0, 2, 4]), (2,))
+    np.testing.assert_array_equal(got, rows)
+
+  def test_replicated_shards_deduplicated(self):
+    rows = np.arange(8, dtype=np.float32).reshape(4, 2)
+    # The same global range appears twice (replication over a second axis).
+    got = fid_lib._rows_from_shards(
+        self._shards(rows, [0, 0, 2, 2]), (2,))
+    np.testing.assert_array_equal(got, rows)
+
+  def test_count_caps_global_rows(self):
+    rows = np.arange(12, dtype=np.float32).reshape(6, 2)
+    # This process owns rows [2, 4) and [4, 6); global cap at 5 keeps
+    # [2, 4) whole and trims [4, 6) to row 4 only.
+    got = fid_lib._rows_from_shards(self._shards(rows, [2, 4]), (2,),
+                                    count=5)
+    np.testing.assert_array_equal(got, rows[2:5])
+    # A shard fully past the cap contributes nothing.
+    got = fid_lib._rows_from_shards(self._shards(rows, [4]), (2,), count=3)
+    assert got.shape == (0, 2)
+
+  def test_local_rows_fully_addressable_passthrough(self):
+    x = jnp.arange(10.0).reshape(5, 2)
+    np.testing.assert_array_equal(fid_lib.local_rows(x, count=3),
+                                  np.asarray(x)[:3])
+
+
 class TestStreamingGaussianStats:
 
   def test_matches_numpy_mean_cov(self):

@@ -19,6 +19,35 @@ import numpy as np
 Array = jnp.ndarray
 
 
+def _rows_from_shards(shards, trailing_shape, count=None) -> np.ndarray:
+  """Concatenates the rows owned by this process from addressable shards.
+
+  ``shards`` yield ``(index, data)``-like objects (a `jax.Shard` or any
+  stand-in with ``.index`` / ``.data``).  Rows past the first ``count``
+  *global* rows are dropped; replicated shards (same global row range on
+  several devices) are deduplicated.
+  """
+  parts = []
+  seen_ranges = set()
+  for shard in shards:
+    sl = shard.index[0] if shard.index else slice(None)
+    start = sl.start or 0
+    data = np.asarray(shard.data)
+    stop = start + data.shape[0]
+    if (start, stop) in seen_ranges:
+      continue  # Replicated shard: same global rows on another device.
+    seen_ranges.add((start, stop))
+    if count is not None:
+      capped = min(stop, int(count))
+      if capped <= start:
+        continue
+      data = data[:capped - start]
+    parts.append(data)
+  if not parts:
+    return np.zeros((0,) + tuple(trailing_shape), np.float64)
+  return np.concatenate(parts)
+
+
 def local_rows(features, count: Optional[int] = None) -> np.ndarray:
   """This process's rows of a (possibly multi-process global) [n, d] array.
 
@@ -29,25 +58,8 @@ def local_rows(features, count: Optional[int] = None) -> np.ndarray:
   accumulator's ``compute``).
   """
   if isinstance(features, jax.Array) and not features.is_fully_addressable:
-    parts = []
-    seen_ranges = set()
-    for shard in features.addressable_shards:
-      sl = shard.index[0] if shard.index else slice(None)
-      start = sl.start or 0
-      data = np.asarray(shard.data)
-      stop = start + data.shape[0]
-      if (start, stop) in seen_ranges:
-        continue  # Replicated shard: same global rows on another device.
-      seen_ranges.add((start, stop))
-      if count is not None:
-        capped = min(stop, int(count))
-        if capped <= start:
-          continue
-        data = data[:capped - start]
-      parts.append(data)
-    if not parts:
-      return np.zeros((0,) + features.shape[1:], np.float64)
-    return np.concatenate(parts)
+    return _rows_from_shards(features.addressable_shards,
+                             features.shape[1:], count)
   feats = np.asarray(features)
   if count is not None and int(count) < feats.shape[0]:
     feats = feats[:int(count)]
