@@ -340,10 +340,16 @@ def main():
       "metric": f"xmcgan-{args.image_size}px train throughput "
                 f"(batch {batch_size}, d_steps "
                 f"{config.d_step_per_g_step}, "
-                f"{'pallas, ' if args.use_pallas else ''}bf16)",
+                f"{'pallas, ' if args.use_pallas else ''}bf16) "
+                "[baseline=jit-reference-design]",
       "value": round(throughput, 3),
       "unit": "images/sec/chip",
       "vs_baseline": round(vs_baseline, 4),
+      # vs_baseline semantics marker: since round 2, the denominator is the
+      # reference design executed under jit (NOT the raw pmap measurement,
+      # which lives behind --pmap_baseline as "pmap_measured").  Consumers
+      # comparing across rounds must match this kind.
+      "vs_baseline_kind": "jit-reference-design",
       **extra,
   }))
 

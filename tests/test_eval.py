@@ -55,6 +55,20 @@ class TestLocalRows:
     np.testing.assert_array_equal(fid_lib.local_rows(x, count=3),
                                   np.asarray(x)[:3])
 
+  def test_trailing_dim_sharding_rejected(self):
+    """Row-range dedup is only sound for leading-axis sharding; a
+    column-sharded feature array must fail loudly, not drop shards."""
+    rows = np.arange(8, dtype=np.float32).reshape(4, 2)
+    shard = _FakeShard(0, rows[:2])
+    shard.index = (slice(0, 2), slice(0, 1))  # model-axis column shard
+    with pytest.raises(ValueError, match="leading"):
+      fid_lib._rows_from_shards([shard], (2,))
+    # Explicit full-extent trailing slices stay accepted.
+    ok = _FakeShard(0, rows[:2])
+    ok.index = (slice(0, 2), slice(0, 2))
+    np.testing.assert_array_equal(
+        fid_lib._rows_from_shards([ok], (2,)), rows[:2])
+
 
 class TestStreamingGaussianStats:
 

@@ -61,6 +61,50 @@ print(f"[eval proc {pid}] done", flush=True)
 """
 
 
+SYNC_WORKER = r"""
+import os, sys, time
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+ckpt_dir = sys.argv[4]; mode = sys.argv[5]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+import logging
+logging.basicConfig(level=logging.INFO)
+from xmcgan_image_generation_tpu.evaluate import _synchronized_steps
+from xmcgan_image_generation_tpu.utils.task_manager import TaskManager
+
+tm = TaskManager(ckpt_dir)
+if mode == "protocol":
+  # Coordinator polls an initially-empty dir (heartbeats flow); a
+  # committed checkpoint appears ~4s in, then TRAIN_DONE.
+  if pid == 0:
+    def add_later():
+      time.sleep(4)
+      step_dir = os.path.join(ckpt_dir, "5")
+      os.makedirs(step_dir, exist_ok=True)
+      open(os.path.join(step_dir, "_CHECKPOINT_METADATA"), "w").close()
+      tm.mark_training_done()
+    import threading
+    threading.Thread(target=add_later, daemon=True).start()
+  steps = list(_synchronized_steps(tm, timeout=60, heartbeat_interval=1.0))
+  assert steps == [5], steps
+  print(f"[sync proc {pid}] steps={steps}", flush=True)
+elif mode == "dead_coordinator":
+  # Process 0 dies mid-poll; the worker must fail fast, not hang.
+  if pid == 0:
+    def die():
+      time.sleep(3)
+      os._exit(17)
+    import threading
+    threading.Thread(target=die, daemon=True).start()
+  list(_synchronized_steps(tm, timeout=120, heartbeat_interval=1.0,
+                           worker_deadline=15.0))
+  print(f"[sync proc {pid}] finished", flush=True)
+"""
+
+
 def _free_port():
   s = socket.socket()
   s.bind(("127.0.0.1", 0))
@@ -103,6 +147,63 @@ class TestMultiHostTraining:
     assert "process_1-of-2.json" in shards
     assert os.path.exists(
         os.path.join(workdir, "checkpoints", "TRAIN_DONE"))
+
+
+@pytest.mark.slow
+class TestSynchronizedSteps:
+  """The eval service's coordinator/worker broadcast protocol, isolated
+  from the heavy model/FID machinery (2 processes, 1 CPU device each)."""
+
+  def _launch(self, tmp_path, mode):
+    script = str(tmp_path / "sync_worker.py")
+    with open(script, "w") as f:
+      f.write(SYNC_WORKER)
+    ckpt_dir = str(tmp_path / "ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    # 1 device per process: the protocol needs no SPMD compute.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    return [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", port, ckpt_dir, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for pid in range(2)
+    ]
+
+  def test_heartbeats_bound_collectives(self, tmp_path):
+    """A checkpoint landing seconds after service start is synchronized to
+    both processes; heartbeats keep every collective short meanwhile."""
+    procs = self._launch(tmp_path, "protocol")
+    outs = [p.communicate(timeout=180)[0].decode() for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+      assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+      assert f"[sync proc {pid}] steps=[5]" in out
+
+  def test_dead_coordinator_fails_worker_fast(self, tmp_path):
+    """If process 0 dies mid-poll the worker must exit with an error
+    within its deadline instead of hanging in the broadcast."""
+    import time as _time
+
+    procs = self._launch(tmp_path, "dead_coordinator")
+    t0 = _time.time()
+    outs = []
+    for p in procs:
+      try:
+        outs.append(p.communicate(timeout=120)[0].decode())
+      except subprocess.TimeoutExpired:
+        p.kill()
+        outs.append(p.communicate()[0].decode())
+        pytest.fail("worker hung after coordinator death:\n"
+                    + outs[-1][-4000:])
+    elapsed = _time.time() - t0
+    assert procs[0].returncode == 17  # the staged coordinator death
+    # The worker failed (any error is fine — our deadline RuntimeError or
+    # the backend noticing the dead peer first), and did so promptly.
+    assert procs[1].returncode != 0, outs[1][-4000:]
+    assert "finished" not in outs[1]
+    assert elapsed < 90, f"worker took {elapsed:.0f}s to fail"
 
 
 @pytest.mark.slow

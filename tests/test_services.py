@@ -81,6 +81,24 @@ class TestTaskManager:
     steps = list(tm.unevaluated_checkpoints(timeout=5, eval_every_steps=2))
     assert steps == [2, 4]
 
+  def test_marker_fallback_and_mixed_listing(self, tmp_path):
+    """Unknown commit-marker conventions must not leave the service idle:
+    when NO digit dir carries a known marker, all digit dirs are accepted;
+    when some do, unmarked dirs are skipped (still being committed)."""
+    ckpt_dir = tmp_path / "ckpts"
+    for step in (3, 7):
+      (ckpt_dir / str(step)).mkdir(parents=True)
+      (ckpt_dir / str(step) / "state").mkdir()
+    tm = TaskManager(str(ckpt_dir))
+    # No known markers anywhere -> fallback accepts both.
+    assert tm._list_steps() == [3, 7]
+    # GCS-style commit marker is recognized as a marker convention...
+    (ckpt_dir / "7" / "commit_success.txt").write_text("ok")
+    # ...so the unmarked dir 3 is now treated as still-uncommitted.
+    assert tm._list_steps() == [7]
+    (ckpt_dir / "3" / "_CHECKPOINT_METADATA").write_text("{}")
+    assert tm._list_steps() == [3, 7]
+
   def test_csv_format(self, tmp_path):
     tm = TaskManagerWithCsvResults(str(tmp_path / "c"))
     tm.add_eval_result(5, {"eval/fid": 12.5, "eval/is": 3.0})

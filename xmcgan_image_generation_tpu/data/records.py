@@ -243,6 +243,11 @@ class TFRecordWriter:
     self._f.write(record)
     self._f.write(_CRC_STRUCT.pack(masked_crc(record)))
 
+  def flush(self) -> None:
+    """Flushes buffered records to disk (durability point for consumers
+    that tail the file, e.g. TensorBoard event files)."""
+    self._f.flush()
+
   def close(self) -> None:
     self._f.close()
 

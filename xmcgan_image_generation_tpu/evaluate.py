@@ -10,6 +10,7 @@ metric writer, and exit on timeout or TRAIN_DONE.
 from __future__ import annotations
 
 import logging
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,28 +34,88 @@ from xmcgan_image_generation_tpu.utils.task_manager import (
 log = logging.getLogger("xmcgan_tpu")
 
 
-def _synchronized_steps(task_manager, timeout: int):
+# Control values broadcast by the coordinator (process 0).  Real checkpoint
+# steps are >= 0.
+_SERVICE_DONE = -1
+_HEARTBEAT = -2
+
+
+def _broadcast_step(value: int, deadline: Optional[float] = None) -> int:
+  """One coordinator->workers broadcast of a control value / step.
+
+  ``deadline`` (seconds, workers only) bounds the wait: a dead coordinator
+  must FAIL the job, not hang it until the backend's own timeout (24h on
+  TPU barriers).  Collectives cannot be cancelled, so the bounded wait
+  joins a daemon thread and raises on expiry.
+  """
+  from jax.experimental import multihost_utils
+
+  if deadline is None:
+    return int(multihost_utils.broadcast_one_to_all(np.int64(value)))
+
+  import threading
+
+  result = {}
+
+  def run():
+    try:
+      result["step"] = int(
+          multihost_utils.broadcast_one_to_all(np.int64(value)))
+    except Exception as e:  # noqa: BLE001 - re-raised on the main thread
+      result["error"] = e
+
+  thread = threading.Thread(target=run, daemon=True)
+  thread.start()
+  thread.join(deadline)
+  if thread.is_alive():
+    raise RuntimeError(
+        f"eval-service worker: no broadcast from the coordinator within "
+        f"{deadline:.0f}s — process 0 is gone; failing the job")
+  if "error" in result:
+    raise result["error"]
+  return result["step"]
+
+
+def _synchronized_steps(task_manager, timeout: int,
+                        heartbeat_interval: float = 5.0,
+                        worker_deadline: Optional[float] = None):
   """Yields checkpoint steps to evaluate, identically on every process.
 
   Each process polling the directory independently races (process 0 can
   score a checkpoint and append scores.csv before process 1 even lists
   it, leaving process 1 with nothing to evaluate while process 0 waits in
   the FID all-gather).  Process 0 is the single decision-maker; the step
-  sequence is broadcast, with -1 as the end-of-service sentinel.
+  sequence is broadcast, with ``_SERVICE_DONE`` as the end-of-service
+  sentinel.
+
+  While process 0 polls the filesystem between checkpoints it broadcasts a
+  ``_HEARTBEAT`` sentinel every ``heartbeat_interval`` seconds, so no
+  single collective ever waits longer than the poll interval — backend
+  collective timeouts (gloo's ~30s CPU window, TPU barrier timeouts) stay
+  unreachable however far apart checkpoints land.  Workers additionally
+  enforce ``worker_deadline`` (default: max(12x heartbeat, 60s)) per
+  broadcast: if process 0 dies, the service fails fast instead of hanging.
   """
   if jax.process_count() == 1:
     yield from task_manager.unevaluated_checkpoints(timeout=timeout)
     return
-  from jax.experimental import multihost_utils
+
+  if worker_deadline is None:
+    worker_deadline = max(12.0 * heartbeat_interval, 60.0)
 
   if jax.process_index() == 0:
-    for step in task_manager.unevaluated_checkpoints(timeout=timeout):
-      multihost_utils.broadcast_one_to_all(np.int64(step))
+    for step in task_manager.unevaluated_checkpoints(
+        timeout=timeout,
+        poll_interval=heartbeat_interval,
+        poll_callback=lambda: _broadcast_step(_HEARTBEAT)):
+      _broadcast_step(step)
       yield step
-    multihost_utils.broadcast_one_to_all(np.int64(-1))
+    _broadcast_step(_SERVICE_DONE)
   else:
     while True:
-      step = int(multihost_utils.broadcast_one_to_all(np.int64(0)))
+      step = _broadcast_step(0, deadline=worker_deadline)
+      if step == _HEARTBEAT:
+        continue
       if step < 0:
         return
       yield step

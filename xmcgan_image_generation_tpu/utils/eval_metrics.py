@@ -84,16 +84,19 @@ class EvalMetric:
     ckpt = inception_ckpt_path or config.get("inception_ckpt_path", "")
     self._inception = jax.jit(make_inception_fn(ckpt or None))
     # The jitted sampler is cached per generator function so repeats (and
-    # successive checkpoints) reuse the compiled executable.
-    self._sample_fns: Dict[int, object] = {}
+    # successive checkpoints) reuse the compiled executable.  The cache
+    # value holds a strong reference to the generator fn itself: the key is
+    # its id(), which is only stable while the object is alive — callers
+    # passing transient partials would otherwise alias after GC.
+    self._sample_fns: Dict[int, Tuple[object, object]] = {}
     self._real_mu, self._real_sigma = self._compute_real_statistics()
 
   def _sample_fn(self, generator_fn):
     key = id(generator_fn)
     if key not in self._sample_fns:
-      self._sample_fns[key] = jax.jit(functools.partial(
-          generate_batch, generator=generator_fn, config=self.config))
-    return self._sample_fns[key]
+      self._sample_fns[key] = (generator_fn, jax.jit(functools.partial(
+          generate_batch, generator=generator_fn, config=self.config)))
+    return self._sample_fns[key][1]
 
   def _to_global(self, batch):
     # Already-placed batches (a DevicePrefetchIterator upstream) pass

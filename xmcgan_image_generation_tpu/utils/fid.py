@@ -30,7 +30,18 @@ def _rows_from_shards(shards, trailing_shape, count=None) -> np.ndarray:
   parts = []
   seen_ranges = set()
   for shard in shards:
-    sl = shard.index[0] if shard.index else slice(None)
+    index = tuple(shard.index)
+    # Row-range dedup below is only sound when shards differ on the
+    # leading axis alone; a trailing-dim (e.g. model-axis) shard with the
+    # same row range would be silently dropped, corrupting the stats.
+    for dim, trailing in enumerate(index[1:]):
+      full = (trailing.start in (None, 0)
+              and trailing.stop in (None, tuple(trailing_shape)[dim]))
+      if not full:
+        raise ValueError(
+            "feature accumulation expects sharding on the leading "
+            f"(example) axis only; got shard index {index!r}")
+    sl = index[0] if index else slice(None)
     start = sl.start or 0
     data = np.asarray(shard.data)
     stop = start + data.shape[0]

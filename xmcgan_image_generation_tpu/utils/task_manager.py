@@ -42,6 +42,11 @@ class TaskManager:
     return os.path.exists(os.path.join(self.checkpoint_dir,
                                        TRAIN_DONE_MARKER))
 
+  # Commit markers Orbax writes into a finalized step directory, by
+  # version/filesystem convention (local rename-commit metadata vs the
+  # GCS-style commit-success file).
+  _COMMIT_MARKERS = ("_CHECKPOINT_METADATA", "commit_success.txt")
+
   def _list_steps(self) -> List[int]:
     """Committed checkpoint steps, by filesystem listing only.
 
@@ -50,29 +55,51 @@ class TaskManager:
     loop runs on process 0 alone (evaluate._synchronized_steps) — an
     asymmetric barrier deadlocks the service.  Orbax commits a step by
     atomically renaming its tmp directory to the bare step number, so a
-    digit-named directory with checkpoint metadata is a committed step.
+    digit-named directory with a known commit marker is a committed step.
+    If NO digit-named directory carries a known marker, the marker
+    convention evidently differs (other Orbax version / filesystem) and we
+    fall back to accepting all digit-named directories rather than idling
+    forever; mixed listings log each skipped directory.
     """
     if not os.path.isdir(self.checkpoint_dir):
       return []
-    steps = []
+    marked, unmarked = [], []
     for name in os.listdir(self.checkpoint_dir):
       path = os.path.join(self.checkpoint_dir, name)
-      if (name.isdigit() and os.path.isdir(path)
-          and os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))):
-        steps.append(int(name))
-    return sorted(steps)
+      if not (name.isdigit() and os.path.isdir(path)):
+        continue
+      if any(os.path.exists(os.path.join(path, m))
+             for m in self._COMMIT_MARKERS):
+        marked.append(int(name))
+      else:
+        unmarked.append(int(name))
+    if not marked and unmarked:
+      log.warning(
+          "No checkpoint directory in %s carries a known commit marker %s; "
+          "falling back to accepting all digit-named directories: %s",
+          self.checkpoint_dir, self._COMMIT_MARKERS, sorted(unmarked))
+      return sorted(unmarked)
+    for step in unmarked:
+      log.info("Skipping checkpoint dir %s/%d: no commit marker yet",
+               self.checkpoint_dir, step)
+    return sorted(marked)
 
   def unevaluated_checkpoints(
       self,
       timeout: int = 3600 * 8,
       num_batched_steps: int = 1,
       eval_every_steps: Optional[int] = None,
+      poll_callback=None,
+      poll_interval: float = 5.0,
   ) -> Iterator[int]:
     """Yields steps of not-yet-evaluated checkpoints as they appear.
 
-    Polls every 5 seconds (reference utils/task_manager.py:99-157);
-    returns when no new checkpoint has appeared within ``timeout`` seconds
-    or training is marked done and everything is evaluated.
+    Polls every ``poll_interval`` seconds (reference
+    utils/task_manager.py:99-157); returns when no new checkpoint has
+    appeared within ``timeout`` seconds or training is marked done and
+    everything is evaluated.  ``poll_callback``, when given, is invoked
+    once per idle poll iteration — the hook multi-process services use to
+    emit bounded-interval liveness heartbeats while waiting.
     """
     log.info("Looking for checkpoints in %s", self.checkpoint_dir)
     evaluated: Set[int] = set(self._evaluated_steps())
@@ -94,7 +121,9 @@ class TaskManager:
                  timeout)
         return
       if not unevaluated:
-        time.sleep(5)
+        if poll_callback is not None:
+          poll_callback()
+        time.sleep(poll_interval)
 
   def _evaluated_steps(self) -> Iterable[int]:
     return []

@@ -109,7 +109,7 @@ class EventFileWriter:
                             colorspace=image.shape[-1])))
 
   def flush(self) -> None:
-    self._w._f.flush()
+    self._w.flush()
 
   def close(self) -> None:
     self._w.close()
