@@ -105,6 +105,27 @@ class TestDualCotangentVJP:
     for v in metrics.values():
       assert np.isfinite(float(v))
 
+  def test_split_backward_equals_dual_cotangent(self):
+    """The default split-backward scheme (minimal G-pass/D-pass grads)
+    must reproduce the reference-style dual-cotangent update exactly."""
+    config = tiny_config()
+    batch, generator, discriminator, state = setup(config)
+    rng = jax.random.PRNGKey(11)
+    s_split, m_split = xmc_gan.train_g_d(
+        rng, state, batch, generator, discriminator, config, {})
+    config_dual = tiny_config(dual_cotangent_vjp=True)
+    s_dual, m_dual = xmc_gan.train_g_d(
+        rng, state, batch, generator, discriminator, config_dual, {})
+    for attr in ("g_params", "d_params", "ema_params", "generator_state",
+                 "discriminator_state"):
+      jax.tree_util.tree_map(
+          lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                  atol=1e-7),
+          getattr(s_split, attr), getattr(s_dual, attr))
+    for k in m_split:
+      np.testing.assert_allclose(float(m_split[k]), float(m_dual[k]),
+                                 rtol=1e-5, atol=1e-7)
+
   def test_ema_update(self):
     config = tiny_config(polyak_decay=0.5)
     batch, generator, discriminator, state = setup(config)

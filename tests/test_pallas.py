@@ -66,6 +66,32 @@ class TestWordScoresKernel:
       np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                  rtol=5e-3, atol=1e-5)
 
+  @pytest.mark.parametrize("chunk_cap", [16, 2, 1])
+  def test_analytic_bwd_kernel_matches_autodiff(self, chunk_cap):
+    """_scores_bwd_pallas == vjp of the chunked XLA scores, for an
+    arbitrary cotangent and across caption-chunk sizes (16 -> one chunk,
+    2/1 -> multi-chunk accumulation paths)."""
+    region, word, max_len = make_features(seed=5, batch=6, regions=8,
+                                          words=4, dim=16)
+    mask = attn_ops.padding_mask(max_len, word.shape[1])
+    rn = c_ops.l2_normalize(region, -1)
+    wn = c_ops.l2_normalize(word, -1)
+    g = jax.random.normal(jax.random.PRNGKey(9), (6, 6))
+
+    # Both the XLA reference and _scores_bwd_pallas take the cotangent of
+    # the [caption, image] score matrix.
+    _, vjp_fn = jax.vjp(
+        lambda r, w: ws_pl._scores_xla_chunked(r, w, mask, 5.0, 5.0),
+        rn, wn)
+    want_rn, want_wn = vjp_fn(g)
+
+    got_rn, got_wn = ws_pl._scores_bwd_pallas(
+        rn, wn, mask, g, 5.0, 5.0, interpret=True, chunk_cap=chunk_cap)
+    np.testing.assert_allclose(np.asarray(got_rn), np.asarray(want_rn),
+                               rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_wn), np.asarray(want_wn),
+                               rtol=5e-3, atol=1e-5)
+
 
 class TestShardedWordScores:
 

@@ -12,9 +12,14 @@ here each grid cell (one image i) keeps everything in VMEM:
   rowsim = cos(wn, context)      [B, L]
   s[:, i] = logsumexp_L(gamma2 * rowsim + mask) / gamma2
 
-The backward pass recomputes through a j-chunked XLA formulation under
-`jax.custom_vjp` (frozen-tower-style recompute: HBM is the bottleneck, not
-FLOPs).
+The backward pass is a second Pallas kernel (`_scores_bwd_kernel`) with an
+analytic VJP: per grid cell it recomputes the forward intermediates for one
+(image, caption-chunk) pair in VMEM — the flash-attention recompute pattern
+— and applies the derived gradient chain (logsumexp -> softmax weights;
+cosine -> radial projection; region-softmax VJP; similarity matmuls),
+accumulating ``d_rn`` across caption chunks and ``d_wn`` across images in
+grid-resident output blocks.  Nothing [B, B, R, L]-shaped ever touches HBM
+in either direction.
 
 Used when ``config.use_pallas`` is set.  Under a multi-device mesh,
 `ops.attention.word_loss` dispatches through `make_sharded_word_scores`
@@ -123,6 +128,156 @@ def _scores_pallas(rn, wn, mask, gamma1, gamma2, interpret=False):
   )(rn, wn_flat, mask_row, group)
 
 
+def _scores_bwd_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
+                       drn_ref, dwn_ref, *, gamma1, gamma2, chunk_len):
+  """Analytic VJP for one (image i, caption-chunk jc) grid cell.
+
+  Recomputes the forward intermediates for the cell in VMEM, then applies
+  the gradient chain.  With ``s = logsumexp_w(row)/gamma2`` and cotangent
+  ``g[c, i]``:
+
+    d_rowsim = g * softmax_w(row)                       (logsumexp VJP)
+    d_ctx    = d_rowsim*inv*wn - 1[csq>=eps]*d_rowsim*rowsim*inv^2*ctx
+    d_wn    += d_rowsim*inv*ctx                          (cosine VJP)
+    d_alpha  = rn d_ctx^T ;  d_rn += alpha d_ctx         (context VJP)
+    d_sim    = gamma1 * alpha*(d_alpha - sum_R alpha*d_alpha)
+    d_rn    += d_sim wn ;  d_wn += d_sim^T rn            (similarity VJP)
+
+  ``d_rn``'s block (one image row) accumulates across the fast caption-
+  chunk grid axis; ``d_wn``'s block is the whole [B*L, D] array, resident
+  in VMEM for the entire (sequential) grid and accumulated per chunk slice.
+  """
+  i = pl.program_id(0)
+  jc = pl.program_id(1)
+
+  rn = rn_ref[0]            # [R, D]
+  wnc = wnc_ref[:]          # [CL, D] caption-chunk words (unit norm)
+  mrow = mask_ref[:]        # [1, CL] (1.0 at padding)
+  group = group_ref[:]      # [CL, CB] chunk-local caption indicator
+  gvec = g_ref[:, :]        # [CB, 1] cotangent of s[c, i]
+
+  # --- forward recompute (as _scores_kernel, restricted to the chunk) ---
+  sim = jax.lax.dot_general(
+      rn, wnc, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [R, CL]
+  logits = sim * gamma1 + mrow * NEG_INF
+  logits = logits - jnp.max(logits, axis=0, keepdims=True)
+  e = jnp.exp(logits)
+  alpha = e / jnp.sum(e, axis=0, keepdims=True)           # [R, CL]
+  ctx = jax.lax.dot_general(
+      alpha, rn, dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [CL, D]
+  num = jnp.sum(ctx * wnc, axis=-1, keepdims=True)        # [CL, 1]
+  csq = jnp.sum(ctx * ctx, axis=-1, keepdims=True)
+  inv = jax.lax.rsqrt(jnp.maximum(csq, 1e-12))
+  rowsim = num * inv
+  row = rowsim * gamma2 + mrow.T * NEG_INF                # [CL, 1]
+  er = jnp.exp(row)  # |gamma2*cos| <= gamma2: no running max needed
+  seg = jax.lax.dot_general(
+      group, er, dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [CB, 1]
+
+  # --- backward chain ---
+  den = jax.lax.dot_general(
+      group, seg, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [CL, 1]
+  beta = er / den                                         # softmax_w(row)
+  gw = jax.lax.dot_general(
+      group, gvec, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [CL, 1]
+  d_rowsim = gw * beta
+  guard = (csq >= 1e-12).astype(jnp.float32)
+  d_ctx = ((d_rowsim * inv) * wnc
+           - (guard * d_rowsim * rowsim * inv * inv) * ctx)
+  d_wn = (d_rowsim * inv) * ctx                           # [CL, D]
+
+  d_alpha = jax.lax.dot_general(
+      rn, d_ctx, dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [R, CL]
+  d_rn = jax.lax.dot_general(
+      alpha, d_ctx, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)                 # [R, D]
+  t = alpha * d_alpha
+  d_sim = gamma1 * (t - alpha * jnp.sum(t, axis=0, keepdims=True))
+  d_rn = d_rn + jax.lax.dot_general(
+      d_sim, wnc, dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  d_wn = d_wn + jax.lax.dot_general(
+      d_sim, rn, dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  # --- accumulate into the grid-resident output blocks ---
+  @pl.when(jc == 0)
+  def _():
+    drn_ref[0] = jnp.zeros_like(drn_ref[0])
+
+  drn_ref[0] = drn_ref[0] + d_rn
+
+  @pl.when(jnp.logical_and(i == 0, jc == 0))
+  def _():
+    dwn_ref[:] = jnp.zeros_like(dwn_ref[:])
+
+  sl = pl.ds(jc * chunk_len, chunk_len)
+  dwn_ref[sl, :] = dwn_ref[sl, :] + d_wn
+
+
+def _caption_chunk(num_caps: int, cap: int = 16) -> int:
+  """Largest divisor of ``num_caps`` that is <= cap (VMEM sizing)."""
+  for c in range(min(cap, num_caps), 0, -1):
+    if num_caps % c == 0:
+      return c
+  return 1
+
+
+def _scores_bwd_pallas(rn, wn, mask, g, gamma1, gamma2, interpret=False,
+                       chunk_cap=16):
+  """Analytic (d_rn, d_wn) for `_scores_pallas`.
+
+  ``rn``: [B_img, R, D]; ``wn``: [B_cap, L, D]; ``mask``: [B_cap, L];
+  ``g``: [B_cap, B_img] cotangent of the [caption, image] score matrix.
+  """
+  num_images, regions, dim = rn.shape
+  num_caps, total_len, _ = wn.shape
+  cb = _caption_chunk(num_caps, chunk_cap)
+  cl = cb * total_len
+  flat = num_caps * total_len
+  wn_flat = wn.reshape(flat, dim)
+  mask_row = mask.reshape(1, flat)
+  # Chunk-local caption indicator (identical for every chunk).
+  group = jnp.repeat(jnp.eye(cb, dtype=jnp.float32), total_len, axis=0)
+  kernel = functools.partial(
+      _scores_bwd_kernel, gamma1=float(gamma1), gamma2=float(gamma2),
+      chunk_len=cl)
+  d_rn, d_wn_flat = pl.pallas_call(
+      kernel,
+      grid=(num_images, num_caps // cb),
+      in_specs=[
+          pl.BlockSpec((1, regions, dim), lambda i, jc: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((cl, dim), lambda i, jc: (jc, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, cl), lambda i, jc: (0, jc),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((cl, cb), lambda i, jc: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((cb, 1), lambda i, jc: (jc, i),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, regions, dim), lambda i, jc: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((flat, dim), lambda i, jc: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((num_images, regions, dim), jnp.float32),
+          jax.ShapeDtypeStruct((flat, dim), jnp.float32),
+      ],
+      interpret=interpret,
+  )(rn, wn_flat, mask_row, group, g)
+  return d_rn, d_wn_flat.reshape(num_caps, total_len, dim)
+
+
 def _scores_xla_chunked(rn, wn, mask, gamma1, gamma2, chunk=8):
   """j-chunked XLA reference (bounded memory); used for the backward."""
 
@@ -178,15 +333,19 @@ def _word_scores_fwd(region_feat, word_feat, mask, gamma1, gamma2,
 
 def _word_scores_bwd(gamma1, gamma2, interpret, residuals, g):
   region_feat, word_feat, mask = residuals
+  from xmcgan_image_generation_tpu.ops.pallas import default_interpret
 
-  def ref(region_feat, word_feat):
-    rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
-    wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
-    return _scores_xla_chunked(rn, wn, mask.astype(jnp.float32),
-                               gamma1, gamma2)
-
-  _, vjp_fn = jax.vjp(ref, region_feat, word_feat)
-  d_region, d_word = vjp_fn(g)
+  if interpret is None:
+    interpret = default_interpret()
+  rn, rn_vjp = jax.vjp(
+      lambda x: l2_normalize(x.astype(jnp.float32), axis=-1), region_feat)
+  wn, wn_vjp = jax.vjp(
+      lambda x: l2_normalize(x.astype(jnp.float32), axis=-1), word_feat)
+  d_rn, d_wn = _scores_bwd_pallas(
+      rn, wn, mask.astype(jnp.float32), g.astype(jnp.float32),
+      gamma1, gamma2, interpret=interpret)
+  (d_region,) = rn_vjp(d_rn)
+  (d_word,) = wn_vjp(d_wn)
   return d_region, d_word, None
 
 
@@ -202,8 +361,9 @@ def make_sharded_word_scores(mesh, data_axis: str = "data",
   the all-gathered caption features (captions are tiny: L x D per
   example), producing its rows of the score matrix — the kernel never
   sees non-addressable data, and the [B, B] output stays sharded on the
-  image axis until the caller's softmax.  Backward recomputes through the
-  chunked XLA formulation on global arrays (as the unsharded variant).
+  image axis until the caller's softmax.  Backward runs the analytic
+  kernel the same way: each device computes d_rn for its image shard and
+  its partial d_wn, which one psum over the data axis completes.
 
   Returns a function ``(region_feat, word_feat, mask) -> scores_ji``.
   """
@@ -236,17 +396,31 @@ def make_sharded_word_scores(mesh, data_axis: str = "data",
     return scores(region_feat, word_feat, mask), (region_feat, word_feat,
                                                   mask)
 
+  def _local_bwd(g_local, rn_local, wn_full, mask_full):
+    # g_local: [B_cap, B_img_local] — this device's columns of g.
+    d_rn_local, d_wn_part = _scores_bwd_pallas(
+        rn_local, wn_full, mask_full, g_local, gamma1, gamma2,
+        interpret=interpret)
+    return d_rn_local, jax.lax.psum(d_wn_part, data_axis)
+
+  sharded_bwd = jax.shard_map(
+      _local_bwd,
+      mesh=mesh,
+      in_specs=(P(None, data_axis), P(data_axis), P(), P()),
+      out_specs=(P(data_axis), P()),
+      check_vma=False,
+  )
+
   def bwd(residuals, g):
     region_feat, word_feat, mask = residuals
-
-    def ref(region_feat, word_feat):
-      rn = l2_normalize(region_feat.astype(jnp.float32), axis=-1)
-      wn = l2_normalize(word_feat.astype(jnp.float32), axis=-1)
-      return _scores_xla_chunked(rn, wn, mask.astype(jnp.float32),
-                                 gamma1, gamma2)
-
-    _, vjp_fn = jax.vjp(ref, region_feat, word_feat)
-    d_region, d_word = vjp_fn(g)
+    rn, rn_vjp = jax.vjp(
+        lambda x: l2_normalize(x.astype(jnp.float32), axis=-1), region_feat)
+    wn, wn_vjp = jax.vjp(
+        lambda x: l2_normalize(x.astype(jnp.float32), axis=-1), word_feat)
+    d_rn, d_wn = sharded_bwd(g.astype(jnp.float32), rn,
+                             wn, mask.astype(jnp.float32))
+    (d_region,) = rn_vjp(d_rn)
+    (d_word,) = wn_vjp(d_wn)
     return d_region, d_word, None
 
   scores.defvjp(fwd, bwd)
