@@ -33,6 +33,9 @@ def main():
   parser.add_argument("--steps", type=int, default=3)
   parser.add_argument("--rtol", type=float, default=5e-3)
   parser.add_argument("--atol", type=float, default=5e-3)
+  parser.add_argument("--time_steps", type=int, default=0,
+                      help="also time each path over this many chained "
+                           "steps (bench.py-style loop)")
   args = parser.parse_args()
 
   from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
@@ -65,8 +68,17 @@ def main():
 
     cfg = copy.deepcopy(config)
     cfg.use_pallas = use_pallas
+    # Rebuild the model factories from cfg: the modules read use_pallas
+    # from the config object they were constructed with, so reusing the
+    # originals would silently keep both phases on the XLA path.  The
+    # parameter trees are identical across the two paths, so state0
+    # applies unchanged.
+    from xmcgan_image_generation_tpu.models import get_architecture
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    gen_p, disc_p = get_architecture(cfg, dtype)
     step_fn = jax.jit(functools.partial(
-        train_step, generator=generator, discriminator=discriminator,
+        train_step, generator=gen_p, discriminator=disc_p,
         config=cfg, additional_data=additional_data))
     state = jax.device_put(
         jax.tree_util.tree_map(jnp.copy, state0), rules.replicated)
@@ -78,6 +90,32 @@ def main():
     print(f"use_pallas={use_pallas}: "
           + " ".join(f"{k}={v:.4f}" for k, v in results[use_pallas].items()),
           flush=True)
+
+    if args.time_steps:
+      import time
+
+      # Release the correctness phase's state before timing: at batch 84
+      # an extra live TrainState copy OOMs the 16 GB chip.
+      state = metrics = None
+
+      timed_fn = jax.jit(functools.partial(
+          train_step, generator=gen_p, discriminator=disc_p,
+          config=cfg, additional_data=additional_data),
+          donate_argnums=(1,))
+      tstate = jax.device_put(
+          jax.tree_util.tree_map(jnp.copy, state0), rules.replicated)
+      tstate, m = timed_fn(jax.random.PRNGKey(2), tstate, batch)
+      jax.block_until_ready(m["d_loss"])
+      t0 = time.perf_counter()
+      for i in range(args.time_steps):
+        tstate, m = timed_fn(
+            jax.random.fold_in(jax.random.PRNGKey(3), i), tstate, batch)
+      jax.block_until_ready(m["d_loss"])
+      ms = (time.perf_counter() - t0) / args.time_steps * 1e3
+      imgs = args.batch_size * config.d_step_per_g_step / (ms / 1e3)
+      print(f"use_pallas={use_pallas}: {ms:.1f} ms/step "
+            f"({imgs:.1f} images/sec/chip)", flush=True)
+      tstate = m = None  # Free before the next path's state copy.
 
   failed = []
   for key, ref in results[False].items():

@@ -128,35 +128,22 @@ def _scores_pallas(rn, wn, mask, gamma1, gamma2, interpret=False):
   )(rn, wn_flat, mask_row, group)
 
 
-def _scores_bwd_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
-                       drn_ref, dwn_ref, *, gamma1, gamma2, chunk_len):
-  """Analytic VJP for one (image i, caption-chunk jc) grid cell.
+def _bwd_cell_chain(rn, wnc, mrow, group, gvec, gamma1, gamma2):
+  """The shared analytic-VJP chain for one (image, caption-chunk) cell.
 
-  Recomputes the forward intermediates for the cell in VMEM, then applies
-  the gradient chain.  With ``s = logsumexp_w(row)/gamma2`` and cotangent
-  ``g[c, i]``:
+  Recomputes the forward intermediates in VMEM (flash-attention-style),
+  then applies the derived gradient chain.  With
+  ``s = logsumexp_w(row)/gamma2`` and cotangent ``g[c, i]``:
 
     d_rowsim = g * softmax_w(row)                       (logsumexp VJP)
     d_ctx    = d_rowsim*inv*wn - 1[csq>=eps]*d_rowsim*rowsim*inv^2*ctx
-    d_wn    += d_rowsim*inv*ctx                          (cosine VJP)
-    d_alpha  = rn d_ctx^T ;  d_rn += alpha d_ctx         (context VJP)
-    d_sim    = gamma1 * alpha*(d_alpha - sum_R alpha*d_alpha)
-    d_rn    += d_sim wn ;  d_wn += d_sim^T rn            (similarity VJP)
+    d_sim    = gamma1 * alpha*(d_alpha - sum_R alpha*d_alpha),
+               d_alpha = rn d_ctx^T                      (softmax VJP)
 
-  ``d_rn``'s block (one image row) accumulates across the fast caption-
-  chunk grid axis; ``d_wn``'s block is the whole [B*L, D] array, resident
-  in VMEM for the entire (sequential) grid and accumulated per chunk slice.
+  Returns ``(alpha, ctx, inv, d_rowsim, d_ctx, d_sim)`` from which
+  ``d_rn = alpha d_ctx + d_sim wn`` and
+  ``d_wn = d_rowsim*inv*ctx + d_sim^T rn`` follow.
   """
-  i = pl.program_id(0)
-  jc = pl.program_id(1)
-
-  rn = rn_ref[0]            # [R, D]
-  wnc = wnc_ref[:]          # [CL, D] caption-chunk words (unit norm)
-  mrow = mask_ref[:]        # [1, CL] (1.0 at padding)
-  group = group_ref[:]      # [CL, CB] chunk-local caption indicator
-  gvec = g_ref[:, :]        # [CB, 1] cotangent of s[c, i]
-
-  # --- forward recompute (as _scores_kernel, restricted to the chunk) ---
   sim = jax.lax.dot_general(
       rn, wnc, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)                 # [R, CL]
@@ -176,8 +163,6 @@ def _scores_bwd_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
   seg = jax.lax.dot_general(
       group, er, dimension_numbers=(((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)                 # [CB, 1]
-
-  # --- backward chain ---
   den = jax.lax.dot_general(
       group, seg, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)                 # [CL, 1]
@@ -189,36 +174,62 @@ def _scores_bwd_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
   guard = (csq >= 1e-12).astype(jnp.float32)
   d_ctx = ((d_rowsim * inv) * wnc
            - (guard * d_rowsim * rowsim * inv * inv) * ctx)
-  d_wn = (d_rowsim * inv) * ctx                           # [CL, D]
-
   d_alpha = jax.lax.dot_general(
       rn, d_ctx, dimension_numbers=(((1,), (1,)), ((), ())),
       preferred_element_type=jnp.float32)                 # [R, CL]
+  t = alpha * d_alpha
+  d_sim = gamma1 * (t - alpha * jnp.sum(t, axis=0, keepdims=True))
+  return alpha, ctx, inv, d_rowsim, d_ctx, d_sim
+
+
+def _bwd_drn_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
+                    drn_ref, *, gamma1, gamma2):
+  """d_rn for image ``i``: grid (images, caption_chunks), chunks innermost
+  so the output block accumulates across consecutive grid steps."""
+  jc = pl.program_id(1)
+  rn = rn_ref[0]            # [R, D]
+  wnc = wnc_ref[0]          # [CL, D]
+  mrow = mask_ref[0]        # [1, CL]
+  group = group_ref[:]      # [CL, CB]
+  gvec = g_ref[0, 0].T      # [CB, 1]
+  alpha, _, _, _, d_ctx, d_sim = _bwd_cell_chain(
+      rn, wnc, mrow, group, gvec, gamma1, gamma2)
   d_rn = jax.lax.dot_general(
       alpha, d_ctx, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)                 # [R, D]
-  t = alpha * d_alpha
-  d_sim = gamma1 * (t - alpha * jnp.sum(t, axis=0, keepdims=True))
   d_rn = d_rn + jax.lax.dot_general(
       d_sim, wnc, dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
-  d_wn = d_wn + jax.lax.dot_general(
-      d_sim, rn, dimension_numbers=(((0,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)
 
-  # --- accumulate into the grid-resident output blocks ---
   @pl.when(jc == 0)
   def _():
     drn_ref[0] = jnp.zeros_like(drn_ref[0])
 
   drn_ref[0] = drn_ref[0] + d_rn
 
-  @pl.when(jnp.logical_and(i == 0, jc == 0))
-  def _():
-    dwn_ref[:] = jnp.zeros_like(dwn_ref[:])
 
-  sl = pl.ds(jc * chunk_len, chunk_len)
-  dwn_ref[sl, :] = dwn_ref[sl, :] + d_wn
+def _bwd_dwn_kernel(rn_ref, wnc_ref, mask_ref, group_ref, g_ref,
+                    dwn_ref, *, gamma1, gamma2):
+  """d_wn for caption chunk ``jc``: grid (caption_chunks, images), images
+  innermost so the output block accumulates across consecutive steps."""
+  i = pl.program_id(1)
+  rn = rn_ref[0]
+  wnc = wnc_ref[0]
+  mrow = mask_ref[0]
+  group = group_ref[:]
+  gvec = g_ref[0, 0].T
+  _, ctx, inv, d_rowsim, _, d_sim = _bwd_cell_chain(
+      rn, wnc, mrow, group, gvec, gamma1, gamma2)
+  d_wn = (d_rowsim * inv) * ctx                           # [CL, D]
+  d_wn = d_wn + jax.lax.dot_general(
+      d_sim, rn, dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  @pl.when(i == 0)
+  def _():
+    dwn_ref[0] = jnp.zeros_like(dwn_ref[0])
+
+  dwn_ref[0] = dwn_ref[0] + d_wn
 
 
 def _caption_chunk(num_caps: int, cap: int = 16) -> int:
@@ -235,47 +246,76 @@ def _scores_bwd_pallas(rn, wn, mask, g, gamma1, gamma2, interpret=False,
 
   ``rn``: [B_img, R, D]; ``wn``: [B_cap, L, D]; ``mask``: [B_cap, L];
   ``g``: [B_cap, B_img] cotangent of the [caption, image] score matrix.
+
+  Two kernels, one per accumulation direction, so each output block is
+  revisited on *consecutive* grid steps (the Pallas requirement for
+  read-modify-write accumulation): d_rn reduces over caption chunks
+  (chunks innermost), d_wn over images (images innermost).  All inputs
+  are chunk-leading — every block dimension equals its array dimension,
+  so Mosaic's (8, 128) block-divisibility rules are satisfied for ANY
+  chunk size (a flat [B*L, D] layout would need B*L*... alignment that
+  L=17 can never provide).  The shared chain is recomputed per kernel:
+  ~1.8x the single-pass backward FLOPs, all VMEM-resident — still far
+  cheaper than the [B, B, R, L] HBM traffic it replaces.
   """
   num_images, regions, dim = rn.shape
   num_caps, total_len, _ = wn.shape
   cb = _caption_chunk(num_caps, chunk_cap)
   cl = cb * total_len
-  flat = num_caps * total_len
-  wn_flat = wn.reshape(flat, dim)
-  mask_row = mask.reshape(1, flat)
+  n_chunks = num_caps // cb
+  wn_c = wn.reshape(n_chunks, cl, dim)
+  mask_c = mask.reshape(n_chunks, 1, cl)
   # Chunk-local caption indicator (identical for every chunk).
   group = jnp.repeat(jnp.eye(cb, dtype=jnp.float32), total_len, axis=0)
-  kernel = functools.partial(
-      _scores_bwd_kernel, gamma1=float(gamma1), gamma2=float(gamma2),
-      chunk_len=cl)
-  d_rn, d_wn_flat = pl.pallas_call(
-      kernel,
-      grid=(num_images, num_caps // cb),
+  # g4[i, jc, 0, c] = g[jc*cb + c, i]: per-cell cotangent rows, leading
+  # grid axes so the kernel block is exactly the trailing (1, cb) plane.
+  g4 = jnp.transpose(g, (1, 0)).reshape(num_images, n_chunks, 1, cb)
+
+  common = dict(gamma1=float(gamma1), gamma2=float(gamma2))
+  rn_spec = lambda im: pl.BlockSpec((1, regions, dim), im,
+                                    memory_space=pltpu.VMEM)
+  wn_spec = lambda im: pl.BlockSpec((1, cl, dim), im,
+                                    memory_space=pltpu.VMEM)
+  mask_spec = lambda im: pl.BlockSpec((1, 1, cl), im,
+                                      memory_space=pltpu.VMEM)
+  group_spec = lambda im: pl.BlockSpec((cl, cb), im,
+                                       memory_space=pltpu.VMEM)
+  g_spec = lambda im: pl.BlockSpec((1, 1, 1, cb), im,
+                                   memory_space=pltpu.VMEM)
+
+  d_rn = pl.pallas_call(
+      functools.partial(_bwd_drn_kernel, **common),
+      grid=(num_images, n_chunks),
       in_specs=[
-          pl.BlockSpec((1, regions, dim), lambda i, jc: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((cl, dim), lambda i, jc: (jc, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, cl), lambda i, jc: (0, jc),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((cl, cb), lambda i, jc: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((cb, 1), lambda i, jc: (jc, i),
-                       memory_space=pltpu.VMEM),
+          rn_spec(lambda i, jc: (i, 0, 0)),
+          wn_spec(lambda i, jc: (jc, 0, 0)),
+          mask_spec(lambda i, jc: (jc, 0, 0)),
+          group_spec(lambda i, jc: (0, 0)),
+          g_spec(lambda i, jc: (i, jc, 0, 0)),
       ],
-      out_specs=[
-          pl.BlockSpec((1, regions, dim), lambda i, jc: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((flat, dim), lambda i, jc: (0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_shape=[
-          jax.ShapeDtypeStruct((num_images, regions, dim), jnp.float32),
-          jax.ShapeDtypeStruct((flat, dim), jnp.float32),
-      ],
+      out_specs=pl.BlockSpec((1, regions, dim), lambda i, jc: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((num_images, regions, dim),
+                                     jnp.float32),
       interpret=interpret,
-  )(rn, wn_flat, mask_row, group, g)
-  return d_rn, d_wn_flat.reshape(num_caps, total_len, dim)
+  )(rn, wn_c, mask_c, group, g4)
+
+  d_wn_c = pl.pallas_call(
+      functools.partial(_bwd_dwn_kernel, **common),
+      grid=(n_chunks, num_images),
+      in_specs=[
+          rn_spec(lambda jc, i: (i, 0, 0)),
+          wn_spec(lambda jc, i: (jc, 0, 0)),
+          mask_spec(lambda jc, i: (jc, 0, 0)),
+          group_spec(lambda jc, i: (0, 0)),
+          g_spec(lambda jc, i: (i, jc, 0, 0)),
+      ],
+      out_specs=pl.BlockSpec((1, cl, dim), lambda jc, i: (jc, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((n_chunks, cl, dim), jnp.float32),
+      interpret=interpret,
+  )(rn, wn_c, mask_c, group, g4)
+  return d_rn, d_wn_c.reshape(num_caps, total_len, dim)
 
 
 def _scores_xla_chunked(rn, wn, mask, gamma1, gamma2, chunk=8):
