@@ -237,6 +237,37 @@ class TestPreprocessing:
     with pytest.raises(NotImplementedError):
       preprocessing.augment(img, rng, "cutout")
 
+  @pytest.mark.parametrize("augment_method", ["shift", "zoom_crop"])
+  def test_uint8_transport_bit_identical_to_float(self, augment_method):
+    """uint8 images / 255 must equal the float pipeline exactly: the
+    float path quantizes through uint8 in its resize anyway."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (40, 44, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    feats = {
+        "image": buf.getvalue(),
+        "caption/embedding": rng.standard_normal(
+            (5, 17, 8)).astype(np.float32),
+        "caption/max_len": np.array([5, 7, 3, 9, 4], np.float32),
+    }
+    kwargs = dict(image_size=32, z_dim=4, augment_method=augment_method)
+    out_u8 = preprocessing.preprocess_example(
+        dict(feats), np.random.default_rng(7), image_uint8=True, **kwargs)
+    out_f32 = preprocessing.preprocess_example(
+        dict(feats), np.random.default_rng(7), image_uint8=False, **kwargs)
+    assert out_u8["image"].dtype == np.uint8
+    assert out_f32["image"].dtype == np.float32
+    for k in ("image", "image_aug"):
+      np.testing.assert_array_equal(
+          out_u8[k].astype(np.float32) / 255.0, out_f32[k])
+    for k in ("embedding", "sentence_embedding", "max_len", "z"):
+      np.testing.assert_array_equal(out_u8[k], out_f32[k])
+
 
 class TestSyntheticSource:
 

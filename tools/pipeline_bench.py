@@ -54,12 +54,35 @@ def fabricate_dataset(root, num_examples, height, width, shards=8,
     return
   os.makedirs(root, exist_ok=True)
   rng = np.random.default_rng(0)
+  t0 = time.perf_counter()
+  # A small validation split so create_datasets' eval loader builds too.
+  _write_split(root, "validation", 64, 1, height, width, rng,
+               sentence_num, text_len, bert_dim, t0)
+  _write_split(root, "train", num_examples, shards, height, width, rng,
+               sentence_num, text_len, bert_dim, t0)
+  with open(done, "w") as f:
+    f.write("ok")
+  sizes = sum(
+      os.path.getsize(os.path.join(root, p)) for p in os.listdir(root))
+  print(f"dataset ready: {num_examples} examples, "
+        f"{sizes / 1e9:.2f} GB in {time.perf_counter() - t0:.0f}s",
+        flush=True)
+
+
+def _write_split(root, split, num_examples, shards, height, width, rng,
+                 sentence_num, text_len, bert_dim, t0):
+  import io
+
+  from PIL import Image
+
+  from xmcgan_image_generation_tpu.data import records
+
   writers = [
       records.TFRecordWriter(os.path.join(
-          root, f"pipebench-2014-train.tfrecord-{i:05d}-of-{shards:05d}"))
+          root,
+          f"pipebench-2014-{split}.tfrecord-{i:05d}-of-{shards:05d}"))
       for i in range(shards)
   ]
-  t0 = time.perf_counter()
   for n in range(num_examples):
     # Smooth content: small noise field upscaled bilinearly, like natural
     # image statistics for the PNG codec (raw noise is incompressible and
@@ -79,17 +102,10 @@ def fabricate_dataset(root, num_examples, height, width, shards=8,
     })
     writers[n % shards].write(example)
     if n and n % 512 == 0:
-      print(f"fabricating: {n}/{num_examples} "
+      print(f"fabricating {split}: {n}/{num_examples} "
             f"({time.perf_counter() - t0:.0f}s)", flush=True)
   for w in writers:
     w.close()
-  with open(done, "w") as f:
-    f.write("ok")
-  sizes = sum(
-      os.path.getsize(os.path.join(root, p)) for p in os.listdir(root))
-  print(f"dataset ready: {num_examples} examples, "
-        f"{sizes / 1e9:.2f} GB in {time.perf_counter() - t0:.0f}s",
-        flush=True)
 
 
 def main():

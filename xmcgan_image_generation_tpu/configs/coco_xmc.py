@@ -84,6 +84,11 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # a multi-chip mesh the sharded dispatch additionally avoids the
   # B^2*R*L per-device blow-up of the XLA formulation's all-gather.
   config.use_pallas = True
+  # Ship images uint8 through the host pipeline and normalize on device
+  # (bit-identical to the float path — the host resize quantizes through
+  # uint8 either way; ops/images.py): 4x less worker IPC + host->HBM
+  # transfer, ~1.6x less host CPU per example.
+  config.image_uint8 = True
   # Contrastive negative-pool scope: -1 = global batch (the paper's
   # behavior; the sync_match the reference declared but never implemented,
   # reference libml/attention_lib.py:58-59).  >0 = contiguous groups of

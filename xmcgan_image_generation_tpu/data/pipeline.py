@@ -42,6 +42,7 @@ class PreprocessTransform(pg.RandomMapTransform):
   return_text: bool = False
   return_filename: bool = False
   augment_method: str = "shift"
+  image_uint8: bool = True
 
   def random_map(self, features, rng: np.random.Generator):
     return preprocessing.preprocess_example(
@@ -53,6 +54,7 @@ class PreprocessTransform(pg.RandomMapTransform):
         return_text=self.return_text,
         return_filename=self.return_filename,
         augment_method=self.augment_method,
+        image_uint8=self.image_uint8,
     )
 
 
@@ -72,9 +74,11 @@ def template_batch(config: ml_collections.ConfigDict,
               if config.dataset == "localized_narratives"
               else constants.COCO_MAX_TEXT_LENGTH)
   d = constants.PRETRAINED_BERT_DIM
+  img_dtype = (np.uint8 if config.get("image_uint8", True)
+               else np.float32)
   return {
-      "image": np.zeros((n, s, s, 3), np.float32),
-      "image_aug": np.zeros((n, s, s, 3), np.float32),
+      "image": np.zeros((n, s, s, 3), img_dtype),
+      "image_aug": np.zeros((n, s, s, 3), img_dtype),
       "embedding": np.zeros((n, text_len, d), np.float32),
       "max_len": np.ones((n, 1), np.float32),
       "sentence_embedding": np.zeros((n, d), np.float32),
@@ -91,7 +95,10 @@ def _build_source(config: ml_collections.ConfigDict, split: str):
       raise ValueError(f"Unsupported dataset {config.dataset!r}")
     pattern = sources.coco_file_pattern(
         config.data_dir, config.coco_version, split)
-    return sources.COCORecordSource(pattern)
+    # Defer PNG decode to the preprocess transform: with the uint8 path
+    # it decodes and resizes in one PIL pass, never expanding to float
+    # at source resolution.
+    return sources.COCORecordSource(pattern, decode_image=False)
   raise ValueError(f"Unknown data_source {config.data_source!r}")
 
 
@@ -119,6 +126,7 @@ def _make_loader(
       return_text=return_text,
       return_filename=config.return_filename,
       augment_method=config.get("augment_method", "shift"),
+      image_uint8=config.get("image_uint8", True),
   )
   loader = pg.DataLoader(
       data_source=source,

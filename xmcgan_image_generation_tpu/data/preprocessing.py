@@ -26,6 +26,21 @@ def decode_png(data: bytes) -> np.ndarray:
   return np.asarray(img, np.float32) / 255.0
 
 
+def decode_resize_uint8(data: bytes, height: int, width: int) -> np.ndarray:
+  """PNG bytes -> uint8 RGB array resized bilinearly, no float round-trip.
+
+  Exactly equivalent to ``decode_png`` + `resize_bilinear` (which
+  quantizes through uint8 internally anyway) but ~1.6x cheaper per
+  example: the image never expands to float at source resolution.
+  """
+  from PIL import Image
+
+  img = Image.open(io.BytesIO(data)).convert("RGB")
+  if img.size != (width, height):
+    img = img.resize((width, height), Image.BILINEAR)
+  return np.asarray(img, np.uint8)
+
+
 def resize_bilinear(image: np.ndarray, height: int, width: int) -> np.ndarray:
   """Bilinear resize of a [H, W, C] float image in [0, 1]."""
   from PIL import Image
@@ -36,6 +51,16 @@ def resize_bilinear(image: np.ndarray, height: int, width: int) -> np.ndarray:
       np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8))
   img = img.resize((width, height), Image.BILINEAR)
   return np.asarray(img, np.float32) / 255.0
+
+
+def resize_uint8(image: np.ndarray, height: int, width: int) -> np.ndarray:
+  """Bilinear resize of a [H, W, C] uint8 image, staying uint8."""
+  from PIL import Image
+
+  if image.shape[0] == height and image.shape[1] == width:
+    return image
+  img = Image.fromarray(image).resize((width, height), Image.BILINEAR)
+  return np.asarray(img, np.uint8)
 
 
 def random_flip(image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -59,7 +84,10 @@ def augment_zoom_crop(image: np.ndarray, rng: np.random.Generator,
   """x1.125 zoom + random crop (reference libml/augmentation.py:92-117)."""
   h, w, _ = image.shape
   new_h, new_w = int(h * zoom_ratio), int(w * zoom_ratio)
-  zoomed = resize_bilinear(image, new_h, new_w)
+  if image.dtype == np.uint8:
+    zoomed = resize_uint8(image, new_h, new_w)
+  else:
+    zoomed = resize_bilinear(image, new_h, new_w)
   dy = int(rng.integers(0, new_h - h + 1))
   dx = int(rng.integers(0, new_w - w + 1))
   return zoomed[dy:dy + h, dx:dx + w, :]
@@ -91,6 +119,7 @@ def preprocess_example(
     return_filename: bool = False,
     augment_method: str = "shift",
     dtype: np.dtype = np.float32,
+    image_uint8: bool = True,
 ) -> Example:
   """Raw record features -> training example.
 
@@ -102,14 +131,35 @@ def preprocess_example(
   ``features`` carries ``image`` (decoded float array or PNG bytes),
   ``caption/embedding [sentence_num, L, D]``,
   ``caption/max_len [sentence_num]`` and optionally ``caption/text``.
+
+  With ``image_uint8`` (the default) the emitted ``image``/``image_aug``
+  stay uint8 — bit-identical to the float pipeline after the consumer's
+  on-device ``/255`` (`ops.images.image_to_float`), because the resize
+  quantizes through uint8 either way, while flip/shift/crop are
+  dtype-transparent.  This moves 4x fewer image bytes through worker IPC
+  and host->device transfer and skips the source-resolution float
+  expansion (~1.6x host CPU per example).
   """
   image = features["image"]
-  if isinstance(image, (bytes, bytearray)):
-    image = decode_png(image)
-  image = resize_bilinear(image, image_size, image_size)
-  image = random_flip(image, rng)
-  image = np.clip(image, 0.0, 1.0)
-  image_aug = augment(image, rng, method=augment_method)
+  if image_uint8:
+    if isinstance(image, (bytes, bytearray)):
+      image = decode_resize_uint8(image, image_size, image_size)
+    else:
+      image = np.clip(
+          np.asarray(image, np.float32), 0.0, 1.0)
+      image = np.clip(image * 255.0 + 0.5, 0, 255).astype(np.uint8)
+      image = resize_uint8(image, image_size, image_size)
+    image = random_flip(image, rng)
+    image_aug = augment(image, rng, method=augment_method)
+    image = np.ascontiguousarray(image)
+    image_aug = np.ascontiguousarray(image_aug)
+  else:
+    if isinstance(image, (bytes, bytearray)):
+      image = decode_png(image)
+    image = resize_bilinear(image, image_size, image_size)
+    image = random_flip(image, rng)
+    image = np.clip(image, 0.0, 1.0)
+    image_aug = augment(image, rng, method=augment_method)
 
   embedding = np.asarray(features["caption/embedding"], np.float32)
   max_len = np.asarray(features["caption/max_len"], np.float32)
@@ -123,8 +173,8 @@ def preprocess_example(
     idx = int(rng.integers(0, sentence_num))
 
   out: Example = {
-      "image": image.astype(dtype),
-      "image_aug": image_aug.astype(dtype),
+      "image": image if image_uint8 else image.astype(dtype),
+      "image_aug": image_aug if image_uint8 else image_aug.astype(dtype),
       "embedding": embedding[idx].astype(dtype),
       "max_len": max_len[idx].astype(dtype),
       "sentence_embedding": sentence_feat[idx].astype(dtype),

@@ -80,8 +80,10 @@ def generate_batch(
       g_variables, (batch, z), mutable=False)
   ema_generated = generator(train=False).apply(
       ema_variables, (batch, z), mutable=False)
+  from xmcgan_image_generation_tpu.ops.images import image_to_float
+
   return dict(
       generated_image=generated.astype(jnp.float32),
       ema_generated_image=ema_generated.astype(jnp.float32),
-      image=batch["image"].astype(jnp.float32),
+      image=image_to_float(batch["image"]),
   )

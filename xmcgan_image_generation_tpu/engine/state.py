@@ -94,7 +94,10 @@ def create_train_state(
     z = jax.random.normal(z_rng, (batch_size, config.z_dim), dtype)
     g_variables = dict(generator(train=False).init(g_rng, (init_batch, z)))
     g_params = g_variables.pop("params")
-    all_images = jnp.concatenate([image, image], axis=0)
+    from xmcgan_image_generation_tpu.ops.images import image_to_float
+
+    real = image_to_float(image)
+    all_images = jnp.concatenate([real, real], axis=0)
     d_variables = dict(
         discriminator(train=False).init(d_rng, (all_images, init_batch)))
     d_params = d_variables.pop("params")

@@ -33,6 +33,7 @@ from xmcgan_image_generation_tpu.engine.state import (
 )
 from xmcgan_image_generation_tpu.ops import contrastive as contrastive_ops
 from xmcgan_image_generation_tpu.ops import losses
+from xmcgan_image_generation_tpu.ops.images import image_to_float
 from xmcgan_image_generation_tpu.utils import pretrained
 
 Array = jnp.ndarray
@@ -144,7 +145,7 @@ def train_g_d(
   dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
   g_tx, d_tx = create_optimizers(config)
   z = _noise(rng, batch, config, dtype)
-  real_image = batch["image"]
+  real_image = image_to_float(batch["image"])
 
   if config.get("dual_cotangent_vjp", False):
 
@@ -281,7 +282,8 @@ def train_d(
     generated_image, _ = generator(train=True).apply(
         g_variables, (batch, z), mutable=MUTABLE)
     generated_image = jax.lax.stop_gradient(generated_image)
-    all_images = jnp.concatenate([batch["image"], generated_image])
+    all_images = jnp.concatenate(
+        [image_to_float(batch["image"]), generated_image])
     (logit, stats), new_d_state = discriminator(train=True).apply(
         d_variables, (all_images, batch), mutable=MUTABLE)
     logit = logit.astype(jnp.float32)

@@ -124,7 +124,9 @@ class EvalMetric:
     seen = 0
     while seen < self.eval_num:
       batch = self._to_global(next(self.eval_iter))
-      pool, _ = self._inception(jnp.asarray(batch["image"]))
+      from xmcgan_image_generation_tpu.ops.images import image_to_float
+
+      pool, _ = self._inception(image_to_float(jnp.asarray(batch["image"])))
       take = min(pool.shape[0], self.eval_num - seen)
       stats.update(pool, take)
       seen += take
