@@ -41,7 +41,8 @@ CACHE_ROOT = "/tmp/xmcgan_pipebench"
 
 
 def fabricate_dataset(root, num_examples, height, width, shards=8,
-                      sentence_num=5, text_len=17, bert_dim=768):
+                      sentence_num=5, text_len=17, bert_dim=768,
+                      store_size=0):
   """Writes PNG-encoded reference-schema TFRecord shards (cached)."""
   import io
 
@@ -57,9 +58,9 @@ def fabricate_dataset(root, num_examples, height, width, shards=8,
   t0 = time.perf_counter()
   # A small validation split so create_datasets' eval loader builds too.
   _write_split(root, "validation", 64, 1, height, width, rng,
-               sentence_num, text_len, bert_dim, t0)
+               sentence_num, text_len, bert_dim, t0, store_size)
   _write_split(root, "train", num_examples, shards, height, width, rng,
-               sentence_num, text_len, bert_dim, t0)
+               sentence_num, text_len, bert_dim, t0, store_size)
   with open(done, "w") as f:
     f.write("ok")
   sizes = sum(
@@ -70,7 +71,7 @@ def fabricate_dataset(root, num_examples, height, width, shards=8,
 
 
 def _write_split(root, split, num_examples, shards, height, width, rng,
-                 sentence_num, text_len, bert_dim, t0):
+                 sentence_num, text_len, bert_dim, t0, store_size=0):
   import io
 
   from PIL import Image
@@ -89,6 +90,10 @@ def _write_split(root, split, num_examples, shards, height, width, rng,
     # decodes unrealistically fast per byte).
     small = rng.integers(0, 256, (height // 16, width // 16, 3), np.uint8)
     img = Image.fromarray(small).resize((width, height), Image.BILINEAR)
+    if store_size:
+      # Pre-resized storage (tools/preprocess_coco.py --store_size): the
+      # deterministic training-time resize hoisted offline.
+      img = img.resize((store_size, store_size), Image.BILINEAR)
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     example = records.build_example({
@@ -119,6 +124,10 @@ def main():
                       help="grain worker count; -1 = config default")
   parser.add_argument("--prefetch", type=int, default=-1,
                       help="device-prefetch batches; -1 = config default")
+  parser.add_argument("--store_size", type=int, default=0,
+                      help="Fabricate pre-resized storage (see "
+                           "preprocess_coco.py --store_size); 0 = "
+                           "full-resolution source PNGs")
   parser.add_argument("--json_out", default="")
   args = parser.parse_args()
 
@@ -140,8 +149,10 @@ def main():
   height, width = (int(x) for x in args.source_size.split("x"))
   root = os.path.join(
       CACHE_ROOT,
-      f"n{args.num_examples}-{height}x{width}")
-  fabricate_dataset(root, args.num_examples, height, width)
+      f"n{args.num_examples}-{height}x{width}"
+      + (f"-s{args.store_size}" if args.store_size else ""))
+  fabricate_dataset(root, args.num_examples, height, width,
+                    store_size=args.store_size)
 
   config = get_config()
   config.image_size = args.image_size
@@ -209,6 +220,7 @@ def main():
 
   out = dict(
       steps=args.steps,
+      store_size=args.store_size,
       batch_size=args.batch_size,
       workers=config.grain_worker_count,
       prefetch=config.prefetch_batches,

@@ -53,16 +53,35 @@ def load_annotations(path):
           if i in files]
 
 
-def encode_image_png(path):
+def encode_image_png(path, store_size=0):
+  """Reads an image and re-encodes it PNG, optionally pre-resized.
+
+  ``store_size`` hoists the training-time resize offline: the online
+  pipeline bilinearly resizes every image to ``config.image_size``
+  square BEFORE any random augmentation (data/preprocessing.py), so
+  storing ``resize(img, (S, S))`` with the identical PIL bilinear kernel
+  yields bit-identical training examples while shrinking the stored PNGs
+  ~10x and cutting host decode from ~10 ms to ~0.7 ms per example —
+  the difference between an input-bound and a compute-bound TPU step
+  (tools/pipeline_bench.py).  0 keeps the reference's full-resolution
+  layout (reference preprocess_data.py:80).  Store at the largest
+  resolution you plan to train (e.g. 256); smaller runs resize down
+  online at ~2.7 ms/example.
+  """
   from PIL import Image
-  img = Image.open(path).convert("RGB")
+  img = Image.open(path)
+  if img.mode != "RGB":
+    img = img.convert("RGB")
+  if store_size and img.size != (store_size, store_size):
+    img = img.resize((store_size, store_size), Image.BILINEAR)
   buf = io.BytesIO()
   img.save(buf, format="PNG")
   return buf.getvalue()
 
 
 def write_split(examples, embedder, images_dir, output_dir, split,
-                coco_version="2014", num_shards=100, log_every=500):
+                coco_version="2014", num_shards=100, log_every=500,
+                store_size=0):
   os.makedirs(output_dir, exist_ok=True)
   split_name = "validation" if split == "val" else split
   writers = [
@@ -86,7 +105,8 @@ def write_split(examples, embedder, images_dir, output_dir, split,
                                   MAX_TEXT_LENGTH, BERT_DIM)
     max_len = max_len.reshape(len(padded), SENTENCE_NUM)
     for i, (filename, caps) in enumerate(padded):
-      image_png = encode_image_png(os.path.join(images_dir, filename))
+      image_png = encode_image_png(
+          os.path.join(images_dir, filename), store_size=store_size)
       example = records.build_example({
           "image": image_png,
           "image/filename": [filename.encode()],
@@ -116,6 +136,10 @@ def main():
   parser.add_argument("--num_shards", type=int, default=100)
   parser.add_argument("--batch_size", type=int, default=256)
   parser.add_argument("--limit", type=int, default=0)
+  parser.add_argument("--store_size", type=int, default=0,
+                      help="Pre-resize stored images to this square size "
+                           "(0 = full resolution, reference parity). See "
+                           "encode_image_png.")
   args = parser.parse_args()
 
   tokenizer = BertTokenizer(args.vocab)
@@ -127,7 +151,8 @@ def main():
     examples = examples[:args.limit]
   print(f"{len(examples)} images in {args.split}")
   write_split(examples, embedder, args.images_dir, args.output_dir,
-              args.split, num_shards=args.num_shards)
+              args.split, num_shards=args.num_shards,
+              store_size=args.store_size)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,9 @@ def decode_resize_uint8(data: bytes, height: int, width: int) -> np.ndarray:
   """
   from PIL import Image
 
-  img = Image.open(io.BytesIO(data)).convert("RGB")
+  img = Image.open(io.BytesIO(data))
+  if img.mode != "RGB":
+    img = img.convert("RGB")
   if img.size != (width, height):
     img = img.resize((width, height), Image.BILINEAR)
   return np.asarray(img, np.uint8)
