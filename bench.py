@@ -340,7 +340,7 @@ def main():
       "metric": f"xmcgan-{args.image_size}px train throughput "
                 f"(batch {batch_size}, d_steps "
                 f"{config.d_step_per_g_step}, "
-                f"{'pallas, ' if args.use_pallas else ''}bf16) "
+                f"{'pallas, ' if config.use_pallas else ''}bf16) "
                 "[baseline=jit-reference-design]",
       "value": round(throughput, 3),
       "unit": "images/sec/chip",

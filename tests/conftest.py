@@ -35,6 +35,10 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
   config.addinivalue_line("markers", "slow: long-running test")
+  config.addinivalue_line(
+      "markers", "heavy: jit-compile-bound test (big single-process "
+                 "compiles); `pytest -m 'not slow and not heavy'` is the "
+                 "<10-min single-core verification tier")
 
 
 @pytest.fixture(autouse=True)

@@ -82,41 +82,68 @@ def create_train_state(
   generator, discriminator = get_architecture(config, dtype)
 
   d_rng, g_rng, z_rng = jax.random.split(rng, 3)
-  image = init_batch["image"]
-  batch_size = image.shape[0]
   g_tx, d_tx = create_optimizers(config)
 
   # One jitted program builds the whole state: running the hundreds of
   # per-layer initializers eagerly costs a device dispatch each (minutes on
   # a remote-attached TPU); under jit it is a single compile + execute.
-  @jax.jit
-  def _init(g_rng, d_rng, z_rng):
-    z = jax.random.normal(z_rng, (batch_size, config.z_dim), dtype)
-    g_variables = dict(generator(train=False).init(g_rng, (init_batch, z)))
-    g_params = g_variables.pop("params")
-    from xmcgan_image_generation_tpu.ops.images import image_to_float
-
-    real = image_to_float(image)
-    all_images = jnp.concatenate([real, real], axis=0)
-    d_variables = dict(
-        discriminator(train=False).init(d_rng, (all_images, init_batch)))
-    d_params = d_variables.pop("params")
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_params,
-        d_params=d_params,
-        g_opt_state=g_tx.init(g_params),
-        d_opt_state=d_tx.init(d_params),
-        generator_state=g_variables,
-        discriminator_state=d_variables,
-        # A *copy*, not an alias: the train step donates the whole state
-        # and XLA rejects one buffer appearing under two donated leaves.
-        ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
-    )
-
-  state = _init(g_rng, d_rng, z_rng)
+  init = functools.partial(_build_state, generator, discriminator, g_tx,
+                           d_tx, config)
+  state = jax.jit(init)(init_batch, g_rng, d_rng, z_rng)
   log_parameter_overview(state.g_params, "generator")
   log_parameter_overview(state.d_params, "discriminator")
+  return generator, discriminator, state
+
+
+def _build_state(generator, discriminator, g_tx, d_tx, config,
+                 init_batch, g_rng, d_rng, z_rng) -> TrainState:
+  """Traceable state construction shared by `create_train_state` (jitted)
+  and `abstract_train_state` (eval_shape)."""
+  from xmcgan_image_generation_tpu.ops.images import image_to_float
+
+  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+  batch_size = init_batch["image"].shape[0]
+  z = jax.random.normal(z_rng, (batch_size, config.z_dim), dtype)
+  g_variables = dict(generator(train=False).init(g_rng, (init_batch, z)))
+  g_params = g_variables.pop("params")
+  real = image_to_float(init_batch["image"])
+  all_images = jnp.concatenate([real, real], axis=0)
+  d_variables = dict(
+      discriminator(train=False).init(d_rng, (all_images, init_batch)))
+  d_params = d_variables.pop("params")
+  return TrainState(
+      step=jnp.zeros((), jnp.int32),
+      g_params=g_params,
+      d_params=d_params,
+      g_opt_state=g_tx.init(g_params),
+      d_opt_state=d_tx.init(d_params),
+      generator_state=g_variables,
+      discriminator_state=d_variables,
+      # A *copy*, not an alias: the train step donates the whole state
+      # and XLA rejects one buffer appearing under two donated leaves.
+      ema_params=jax.tree_util.tree_map(jnp.copy, g_params),
+  )
+
+
+def abstract_train_state(
+    config: ml_collections.ConfigDict,
+    init_batch: Dict[str, Any],
+) -> Tuple[functools.partial, functools.partial, TrainState]:
+  """`create_train_state` without running anything: the returned state is
+  a pytree of `jax.ShapeDtypeStruct`s (via `jax.eval_shape`).
+
+  For AOT lowering/compilation of the train step at flagship shapes
+  (tests/test_multichip_aot.py) where a real init would be wasteful.
+  ``init_batch`` may hold arrays or `ShapeDtypeStruct`s.
+  """
+  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+  generator, discriminator = get_architecture(config, dtype)
+  g_tx, d_tx = create_optimizers(config)
+  rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+  state = jax.eval_shape(
+      functools.partial(_build_state, generator, discriminator, g_tx, d_tx,
+                        config),
+      init_batch, rng, rng, rng)
   return generator, discriminator, state
 
 

@@ -36,6 +36,33 @@ Array = jnp.ndarray
 NEG_INF = -1e9
 
 
+def _constrain_caption_rows(x: Array) -> Array:
+  """Pins dim 0 (the caption axis) of a word-loss intermediate to the
+  ``data`` mesh axis.
+
+  Left to propagation alone, GSPMD can replicate the [B, B, ...]
+  contraction chain onto every device (observed at flagship shapes:
+  a per-device f32[64, 64, 16, 192] — tests/test_multichip_aot.py
+  exists to catch exactly this).  With the constraint each device keeps
+  its caption rows and all-gathers only the [B, R, D] normalized region
+  features.  No-op without an ambient mesh or when the batch doesn't
+  divide the data axis.
+  """
+  from xmcgan_image_generation_tpu.parallel import context as mesh_context
+  from xmcgan_image_generation_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_context.get_ambient_mesh()
+  if mesh is None:
+    return x
+  data = int(mesh.shape.get(mesh_lib.DATA_AXIS, 1))
+  if data <= 1 or x.shape[0] % data:
+    return x
+  spec = jax.sharding.PartitionSpec(
+      mesh_lib.DATA_AXIS, *([None] * (x.ndim - 1)))
+  return jax.lax.with_sharding_constraint(
+      x, jax.sharding.NamedSharding(mesh, spec))
+
+
 def padding_mask(max_len: Array, total_len: int) -> Array:
   """``[batch, total_len]`` float mask, 1.0 at padding word positions.
 
@@ -150,6 +177,7 @@ def word_loss(
     gamma3: float = 50.0,
     use_pallas: bool = False,
     group_size: int = -1,
+    constrain_sharding: bool = True,
 ) -> Tuple[Array, Array, Array]:
   """AttnGAN word-region matching loss over the full batch.
 
@@ -184,9 +212,11 @@ def word_loss(
           f"batch {batch} not divisible by contrastive group_size="
           f"{group_size}")
     groups = batch // group_size
-    # Grouped mode stays on the XLA path (pallas_call is not vmappable).
+    # Grouped mode stays on the XLA path (pallas_call is not vmappable);
+    # sharding constraints don't apply under vmap's batched tracing.
     per_group = jax.vmap(
-        lambda r, w, m: word_loss(r, w, m, gamma1, gamma2, gamma3))
+        lambda r, w, m: word_loss(r, w, m, gamma1, gamma2, gamma3,
+                                  constrain_sharding=False))
     loss, acc, ent = per_group(
         region_feat.reshape((groups, group_size) + region_feat.shape[1:]),
         word_feat.reshape((groups, group_size) + word_feat.shape[1:]),
@@ -229,6 +259,8 @@ def word_loss(
   # sim[j, i, r, w] = <region r of image i, word w of caption j>.
   sim = jnp.einsum("ird,jwd->jirw", rn, wn,
                    preferred_element_type=jnp.float32)
+  if constrain_sharding:
+    sim = _constrain_caption_rows(sim)
   attn_logits = sim * gamma1 + mask[:, None, None, :] * NEG_INF
   # Attention over regions for each word (reference attention(),
   # libml/attention_lib.py:105-127: softmax over axis=-2).
@@ -236,6 +268,8 @@ def word_loss(
   # Per-word region context, built from the normalized region features.
   context = jnp.einsum("jirw,ird->jiwd", alpha, rn,
                        preferred_element_type=jnp.float32)
+  if constrain_sharding:
+    context = _constrain_caption_rows(context)
   # Cosine similarity word <-> its context (|wn| == 1 after normalize).
   num = jnp.einsum("jiwd,jwd->jiw", context, wn,
                    preferred_element_type=jnp.float32)
