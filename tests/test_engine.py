@@ -282,6 +282,30 @@ class TestPallasStep:
                                  err_msg=k)
 
 
+class TestAbstractState:
+  """abstract_train_state (eval_shape, no device work) must mirror the
+  real jitted init exactly — it feeds the flagship AOT partitioning
+  audit (tests/test_multichip_aot.py)."""
+
+  def test_matches_real_init(self):
+    from xmcgan_image_generation_tpu.engine.state import (
+        abstract_train_state,
+    )
+
+    config = tiny_config()
+    batch = make_batch(config, 2)
+    _, _, real = create_train_state(config, jax.random.PRNGKey(0), batch)
+    spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            for k, v in batch.items()}
+    _, _, abstract = abstract_train_state(config, spec)
+
+    real_leaves, real_def = jax.tree_util.tree_flatten(real)
+    abs_leaves, abs_def = jax.tree_util.tree_flatten(abstract)
+    assert real_def == abs_def
+    for r, a in zip(real_leaves, abs_leaves):
+      assert r.shape == a.shape and r.dtype == a.dtype
+
+
 class TestSampling:
 
   def test_generate_batch(self):

@@ -19,11 +19,13 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.batch_size = 256
   config.eval_batch_size = 64
   # 256px activations are 4x the 128px config: trade recompute for HBM.
-  # Selective: only the two largest scales (128/256) are rematerialized —
-  # they hold ~3/4 of the activation bytes; recomputing the small scales
-  # buys almost no memory.
+  # Selective: only the largest (256px) scale is rematerialized — it alone
+  # holds ~half the activation bytes, and the round-3 sweep (BENCH_NOTES:
+  # remat_min_resolution x {0,64,128,256} x batch {16,32} on a 16 GB chip)
+  # showed 256 is fastest at both batches and still fits batch 32.  Drop
+  # to 128 for smaller-HBM parts or larger per-chip batches.
   config.remat = True
-  config.remat_min_resolution = 128
+  config.remat_min_resolution = 256
   return config
 
 
