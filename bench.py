@@ -67,7 +67,7 @@ def time_steps(run_one, state, n_steps):
   return (time.perf_counter() - t0) / n_steps
 
 
-def bench_gspmd(step, state, super_batch, n_steps):
+def bench_gspmd(step, state, super_batch, n_steps, compiler_options=None):
   """Our design: single jitted SPMD program, donated state."""
   from xmcgan_image_generation_tpu.parallel import MeshRules
   from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
@@ -77,6 +77,13 @@ def bench_gspmd(step, state, super_batch, n_steps):
   batch = host_batch_to_global(
       jax.tree_util.tree_map(np.asarray, super_batch), rules.mesh)
   step_fn = jax.jit(step, donate_argnums=(1,))
+  if compiler_options:
+    # TPU compiler flags can't ride XLA_FLAGS here (the client process
+    # links a CPU-only XLA; the TPU compiler lives behind the tunnel) —
+    # per-compile options are the only channel that reaches it.
+    step_fn = step_fn.lower(
+        jax.random.PRNGKey(1), state, batch).compile(
+            compiler_options=compiler_options)
 
   def run_one(state, i):
     new_state, _ = step_fn(jax.random.fold_in(jax.random.PRNGKey(1), i),
@@ -260,7 +267,21 @@ def main():
   parser.add_argument("--remat_min_resolution", type=int, default=None,
                       help="force remat on, rematerializing only blocks "
                            "at/above this feature-map side (0 = all)")
+  parser.add_argument("--compiler_option", action="append", default=[],
+                      help="TPU compiler flag as name=value, passed via "
+                           "compiled-program options (XLA_FLAGS can't reach "
+                           "the tunneled TPU compiler); repeatable")
+  parser.add_argument("--conv_backward", default=None,
+                      help="conv gradient algorithm: xla|auto|tap9|cat "
+                           "(ops/mxu_conv.py)")
   args = parser.parse_args()
+
+  compiler_options = None
+  if args.compiler_option:
+    compiler_options = {}
+    for opt in args.compiler_option:
+      name, _, value = opt.partition("=")
+      compiler_options[name] = value
 
   n_steps = args.steps or (3 if args.quick else 10)
   n_chips = jax.device_count()
@@ -279,6 +300,8 @@ def main():
   if args.remat_min_resolution is not None:
     config.remat = True
     config.remat_min_resolution = args.remat_min_resolution
+  if args.conv_backward is not None:
+    config.conv_backward = args.conv_backward
 
   # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
   # with chip count, with OOM fallback for small-HBM parts.  256px fits
@@ -296,7 +319,8 @@ def main():
       # Keep a pristine copy: the gspmd variant donates its state.
       state_copy = jax.jit(
           lambda s: jax.tree_util.tree_map(jnp.copy, s))(state0)
-      sec_per_step = bench_gspmd(step, state0, super_batch, n_steps)
+      sec_per_step = bench_gspmd(step, state0, super_batch, n_steps,
+                                 compiler_options=compiler_options)
       built = (step, state_copy, super_batch, bs, sec_per_step)
       break
     except Exception as e:  # noqa: BLE001 - OOM fallback

@@ -120,6 +120,12 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).
   config.fused_spatial_cond = True
+  # Conv gradient algorithm for the 3x3/stride-1 G/D convs: "xla" keeps
+  # XLA's native conv-gradient emitters; "auto" applies the per-shape
+  # winner measured on a v5e by tools/convgrad_bench.py (MXU-matmul
+  # reformulations, ops/mxu_conv.py).  Forward results and the param tree
+  # are identical for every setting.
+  config.conv_backward = "xla"
   # Global batches kept resident on the mesh ahead of the step.
   config.prefetch_batches = 2
   return config

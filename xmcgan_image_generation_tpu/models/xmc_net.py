@@ -25,6 +25,7 @@ import ml_collections
 
 from xmcgan_image_generation_tpu.ops import attention as attn_ops
 from xmcgan_image_generation_tpu.ops import contrastive as contrastive_ops
+from xmcgan_image_generation_tpu.ops import mxu_conv
 from xmcgan_image_generation_tpu.ops import normalization
 from xmcgan_image_generation_tpu.ops.normalization import (
     LocalConditionalBatchNorm,
@@ -81,16 +82,31 @@ def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
   return nn.remat(block_cls)
 
 
-def _layer_factories(spectral_norm: bool, train: bool, dtype: Any):
-  """Returns (conv_fn, dense_fn) factories, spectrally normalized or plain."""
+def _layer_factories(spectral_norm: bool, train: bool, dtype: Any,
+                     conv_backward: str = "xla"):
+  """Returns (conv_fn, dense_fn) factories, spectrally normalized or plain.
+
+  ``conv_backward`` selects the conv gradient algorithm (ops/mxu_conv.py);
+  it never changes the forward computation or the param tree, so checkpoint
+  and reference-parity surfaces are unaffected.
+  """
   if spectral_norm:
     conv_fn = functools.partial(
-        SpectralConv, train=train, dtype=dtype, kernel_init=glorot_normal())
+        SpectralConv, train=train, dtype=dtype,
+        conv_backward=conv_backward, kernel_init=glorot_normal())
     dense_fn = functools.partial(
         SpectralDense, train=train, dtype=dtype, kernel_init=glorot_normal())
   else:
-    conv_fn = functools.partial(
-        nn.Conv, dtype=dtype, kernel_init=glorot_normal())
+    if conv_backward == "xla":
+      conv_fn = functools.partial(
+          nn.Conv, dtype=dtype, kernel_init=glorot_normal())
+    else:
+      # The hook keeps the scope name (Conv_N) and param tree identical
+      # to plain nn.Conv — only the conv's VJP rule changes.
+      conv_fn = functools.partial(
+          nn.Conv, dtype=dtype, kernel_init=glorot_normal(),
+          conv_general_dilated=mxu_conv.make_conv_general_dilated(
+              conv_backward))
     dense_fn = functools.partial(
         nn.Dense, dtype=dtype, kernel_init=glorot_normal())
   return conv_fn, dense_fn
@@ -149,7 +165,8 @@ class Generator(nn.Module):
     gf_dim = config.gf_dim
 
     conv_fn, dense_fn = _layer_factories(
-        config.g_spectral_norm, self.train, self.dtype)
+        config.g_spectral_norm, self.train, self.dtype,
+        conv_backward=config.get("conv_backward", "xla"))
     norm_fn = _make_norm_fn(config, self.train, self.dtype)
     channels = _GEN_CHANNELS[config.image_size]
     block_args = dict(
@@ -265,7 +282,8 @@ class Discriminator(nn.Module):
     cond_size = config.cond_size
 
     conv_fn, dense_fn = _layer_factories(
-        config.d_spectral_norm, self.train, self.dtype)
+        config.d_spectral_norm, self.train, self.dtype,
+        conv_backward=config.get("conv_backward", "xla"))
     channels = _DISC_CHANNELS[config.image_size]
     downsamples = _DISC_DOWNSAMPLE[config.image_size]
     block_args = dict(

@@ -122,11 +122,14 @@ class SpectralConv(nn.Module):
   use_bias: bool = True
   dtype: Any = jnp.float32
   precision: Any = None
+  conv_backward: str = "xla"
   kernel_init: Callable = nn.initializers.lecun_normal()
   bias_init: Callable = zeros
 
   @nn.compact
   def __call__(self, inputs: Array) -> Array:
+    from xmcgan_image_generation_tpu.ops import mxu_conv
+
     kernel_size = ((self.kernel_size,) if isinstance(self.kernel_size, int)
                    else tuple(self.kernel_size))
     in_features = inputs.shape[-1]
@@ -142,13 +145,16 @@ class SpectralConv(nn.Module):
     kernel_bar = kernel_bar.reshape(kernel_shape).astype(self.dtype)
 
     strides = self.strides or (1,) * len(kernel_size)
-    y = lax.conv_general_dilated(
+    # Forward is byte-identical to lax.conv_general_dilated for every
+    # conv_backward setting; the knob only selects the gradient algorithm
+    # (ops/mxu_conv.py — MXU-matmul conv gradients for qualifying shapes).
+    y = mxu_conv.conv2d(
         inputs.astype(self.dtype),
         kernel_bar,
-        window_strides=strides,
+        strides=strides,
         padding=self.padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=self.precision)
+        precision=self.precision,
+        algorithm=self.conv_backward)
     if self.use_bias:
       bias = self.param("bias", self.bias_init, (self.features,))
       y = y + bias.astype(self.dtype)
