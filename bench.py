@@ -274,6 +274,9 @@ def main():
   parser.add_argument("--conv_backward", default=None,
                       help="conv gradient algorithm: xla|auto|tap9|cat "
                            "(ops/mxu_conv.py)")
+  parser.add_argument("--scale_fused_convs", type=int, default=None,
+                      help="1/0: fold G upsamples / D pools into the "
+                           "adjacent convs (ops/scale_fuse.py)")
   args = parser.parse_args()
 
   compiler_options = None
@@ -302,6 +305,8 @@ def main():
     config.remat_min_resolution = args.remat_min_resolution
   if args.conv_backward is not None:
     config.conv_backward = args.conv_backward
+  if args.scale_fused_convs is not None:
+    config.scale_fused_convs = bool(args.scale_fused_convs)
 
   # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
   # with chip count, with OOM fallback for small-HBM parts.  256px fits

@@ -57,7 +57,8 @@ class ConvOnlyGenTrunk(nn.Module):
 
 def bench_module(name, module, args, mutable, results):
   """Times fwd and fwd+bwd of ``module.apply`` and prints both rows."""
-  variables = module.init(jax.random.PRNGKey(0), *args)
+  # Eager init = one tunnel dispatch per param; jit it (verify skill note).
+  variables = jax.jit(module.init)(jax.random.PRNGKey(0), *args)
   params = variables.get("params", {})
   other = {k: v for k, v in variables.items() if k != "params"}
 
@@ -104,8 +105,7 @@ def main():
 
   key = jax.random.PRNGKey(1)
   cond = jax.random.normal(key, (b, 2 * config.z_dim), DTYPE)
-  region = jax.random.normal(
-      key, (b, 16, 16, 768 + 2 * config.z_dim), DTYPE)
+  region = jax.random.normal(key, (b, 16, 16, 768), DTYPE)
 
   cases = []
   # The two globally-conditioned GenBlocks (4->8, 8->16).
@@ -132,14 +132,16 @@ def main():
     cases.append((f"convonly {res}px {cin}->{cout}",
                   ConvOnlyGenTrunk(filters=cout, conv_fn=g_conv),
                   (x, cond), False))
-  # D stack at 2B.
+  # D stack at 2B — real flagship shapes: DiscOptimizedBlock is df wide
+  # at 128px; DiscBlock_i convs run at the block's input resolution.
   x = jax.random.normal(key, (2 * b, 128, 128, 3), DTYPE)
-  cases.append(("DiscOpt 128px 3->192",
-                blocks.DiscOptimizedBlock(filters=2 * df, conv_fn=d_conv,
+  cases.append(("DiscOpt 128px 3->96",
+                blocks.DiscOptimizedBlock(filters=df, conv_fn=d_conv,
                                           dtype=DTYPE),
                 (x,), ["spectral_norm_stats"]))
-  d_specs = ((64, 2 * df, 4 * df, True), (32, 4 * df, 8 * df, True),
-             (16, 8 * df, 16 * df, True), (8, 16 * df, 16 * df, True))
+  d_specs = ((64, df, 2 * df, True), (32, 2 * df, 4 * df, True),
+             (16, 4 * df, 8 * df, True), (8, 8 * df, 16 * df, True),
+             (4, 16 * df, 16 * df, False))
   for res, cin, cout, down in d_specs:
     x = jax.random.normal(key, (2 * b, res, res, cin), DTYPE)
     cases.append((f"DiscBlock {res}px {cin}->{cout}",

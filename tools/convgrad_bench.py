@@ -120,6 +120,13 @@ def gi_tap9(x, w, dy):
 
 
 def shapes_for(config, batch):
+  """Distinct G/D 3x3 conv shapes of the 128px flagship.
+
+  G: blocks run conv1 at output res (post-upsample) and conv2 at the
+  same res (models/xmc_net.py _GEN_CHANNELS).  D: DiscOptimizedBlock is
+  df wide at 128px; DiscBlock_i convs run at the block's INPUT res
+  (downsample happens after conv2) — _DISC_CHANNELS/_DISC_DOWNSAMPLE.
+  """
   gf, df = config.gf_dim, config.df_dim
   out = []
   g_ch = [16, 16, 8, 4, 2, 1]
@@ -128,10 +135,14 @@ def shapes_for(config, batch):
     res *= 2
     out.append((f"G {res}px {g_ch[i]*gf}->{g_ch[i+1]*gf}", batch, res,
                 g_ch[i] * gf, g_ch[i + 1] * gf))
+  out.append(("D 128px 3->96", 2 * batch, 128, 3, df))
+  out.append(("D 128px 96->96", 2 * batch, 128, df, df))
   d_ch = [2, 4, 8, 16, 16]
-  r, cin = 128, 3
+  r, cin = 64, df
   for i, mult in enumerate(d_ch):
     out.append((f"D {r}px {cin}->{mult*df}", 2 * batch, r, cin, mult * df))
+    out.append((f"D {r}px {mult*df}->{mult*df}", 2 * batch, r,
+                mult * df, mult * df))
     if i < 4:
       r //= 2
     cin = mult * df

@@ -120,6 +120,13 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).
   config.fused_spatial_cond = True
+  # Fold each generator upsample into its following 3x3 conv and each
+  # discriminator 2x2 average pool into its preceding 3x3 conv
+  # (ops/scale_fuse.py): exact factorizations with 2.25x fewer conv FLOPs
+  # and no full-resolution intermediate.  Param tree and checkpoints are
+  # unchanged; outputs differ from the unfused pipeline only by float
+  # re-association of 2-3 kernel-weight additions.
+  config.scale_fused_convs = False
   # Conv gradient algorithm for the 3x3/stride-1 G/D convs: "xla" keeps
   # XLA's native conv-gradient emitters; "auto" applies the per-shape
   # winner measured on a v5e by tools/convgrad_bench.py (MXU-matmul
@@ -160,6 +167,10 @@ def get_test_config() -> ml_collections.ConfigDict:
   # CPU smoke tests run Pallas in interpret mode, which is much slower
   # than plain XLA; the kernels have their own dedicated tests.
   config.use_pallas = False
+  # Keep the test config bit-exact vs the reference transcription: the
+  # scale-fused convs differ by float re-association and have their own
+  # equivalence tests (tests/test_scale_fuse.py).
+  config.scale_fused_convs = False
   return config
 
 

@@ -36,6 +36,7 @@ class DiscBlock(nn.Module):
   conv_fn: Any
   activation_fn: Any = nn.relu
   dtype: Any = jnp.float32
+  scale_fuse: bool = False
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -44,12 +45,22 @@ class DiscBlock(nn.Module):
     x = self.activation_fn(x)
     x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
     x = self.activation_fn(x)
-    x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
-    if needs_projection:
-      shortcut = self.conv_fn(self.filters, kernel_size=(1, 1))(shortcut)
-    if self.downsample:
-      x = dsample(x)
+    if self.scale_fuse and self.downsample:
+      # Fold the trailing 2x2 average pool into this conv (one 4x4
+      # stride-2 conv — ops/scale_fuse.py), and pool the shortcut BEFORE
+      # its 1x1 projection (linear ops commute; 4x cheaper projection).
+      x = self.conv_fn(self.filters, kernel_size=(3, 3),
+                       scale_op="pool")(x)
       shortcut = dsample(shortcut)
+      if needs_projection:
+        shortcut = self.conv_fn(self.filters, kernel_size=(1, 1))(shortcut)
+    else:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
+      if needs_projection:
+        shortcut = self.conv_fn(self.filters, kernel_size=(1, 1))(shortcut)
+      if self.downsample:
+        x = dsample(x)
+        shortcut = dsample(shortcut)
     return x + shortcut
 
 
@@ -101,14 +112,19 @@ class DiscOptimizedBlock(nn.Module):
   conv_fn: Any
   activation_fn: Any = nn.relu
   dtype: Any = jnp.float32
+  scale_fuse: bool = False
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     shortcut = x
     x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
     x = self.activation_fn(x)
-    x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
-    x = dsample(x)
+    if self.scale_fuse:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3),
+                       scale_op="pool")(x)
+    else:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3))(x)
+      x = dsample(x)
     shortcut = dsample(shortcut)
     shortcut = self.conv_fn(self.filters, kernel_size=(1, 1))(shortcut)
     return x + shortcut
@@ -119,6 +135,11 @@ class GenBlock(nn.Module):
 
   Parity with reference nets/common.py:136-160: CBN-act-up-conv3,
   CBN-act-conv3, plus an upsample+1x1 shortcut.
+
+  ``scale_fuse`` folds the upsample into the first conv (2.25x fewer
+  FLOPs, 4x less input bandwidth — ops/scale_fuse.py) and reorders the
+  1x1 shortcut before its upsample (bit-identical, 4x cheaper); the
+  param tree is unchanged.
   """
 
   filters: int
@@ -127,6 +148,7 @@ class GenBlock(nn.Module):
   norm_fn: Any
   activation_fn: Any = nn.relu
   dtype: Any = jnp.float32
+  scale_fuse: bool = False
 
   @nn.compact
   def __call__(self, x: Array, cond: Array) -> Array:
@@ -134,15 +156,24 @@ class GenBlock(nn.Module):
     x = ConditionalBatchNorm(
         norm_fn=self.norm_fn, dense_fn=self.dense_fn)(x, cond)
     x = self.activation_fn(x)
-    x = upsample(x)
-    x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
+    if self.scale_fuse:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True,
+                       scale_op="up")(x)
+    else:
+      x = upsample(x)
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
     x = ConditionalBatchNorm(
         norm_fn=self.norm_fn, dense_fn=self.dense_fn)(x, cond)
     x = self.activation_fn(x)
     x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
-    shortcut = upsample(shortcut)
-    shortcut = self.conv_fn(
-        self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+    if self.scale_fuse:
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+      shortcut = upsample(shortcut)
+    else:
+      shortcut = upsample(shortcut)
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
     return x + shortcut
 
 
@@ -163,6 +194,7 @@ class GenSpatialBlockFused(nn.Module):
   factor: int
   activation_fn: Any = nn.relu
   dtype: Any = jnp.float32
+  scale_fuse: bool = False
 
   @nn.compact
   def __call__(self, x: Array, region_ctx: Array,
@@ -173,17 +205,26 @@ class GenSpatialBlockFused(nn.Module):
         dense_fn=self.dense_fn, factor=self.factor)(
             x, region_ctx, global_cond)
     x = self.activation_fn(x)
-    x = upsample(x)
-    x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
+    if self.scale_fuse:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True,
+                       scale_op="up")(x)
+    else:
+      x = upsample(x)
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
     x = FusedSpatialModulation(
         norm_fn=self.norm_fn, conv_fn=self.conv_fn,
         dense_fn=self.dense_fn, factor=2 * self.factor)(
             x, region_ctx, global_cond)
     x = self.activation_fn(x)
     x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
-    shortcut = upsample(shortcut)
-    shortcut = self.conv_fn(
-        self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+    if self.scale_fuse:
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+      shortcut = upsample(shortcut)
+    else:
+      shortcut = upsample(shortcut)
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
     return x + shortcut
 
 
@@ -200,6 +241,7 @@ class GenSpatialBlock(nn.Module):
   norm_fn: Any
   activation_fn: Any = nn.relu
   dtype: Any = jnp.float32
+  scale_fuse: bool = False
 
   @nn.compact
   def __call__(self, x: Array, cond_in: Array, cond_out: Array) -> Array:
@@ -207,13 +249,22 @@ class GenSpatialBlock(nn.Module):
     x = LocalConditionalBatchNorm(
         norm_fn=self.norm_fn, conv_fn=self.conv_fn)(x, cond_in)
     x = self.activation_fn(x)
-    x = upsample(x)
-    x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
+    if self.scale_fuse:
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True,
+                       scale_op="up")(x)
+    else:
+      x = upsample(x)
+      x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
     x = LocalConditionalBatchNorm(
         norm_fn=self.norm_fn, conv_fn=self.conv_fn)(x, cond_out)
     x = self.activation_fn(x)
     x = self.conv_fn(self.filters, kernel_size=(3, 3), use_bias=True)(x)
-    shortcut = upsample(shortcut)
-    shortcut = self.conv_fn(
-        self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+    if self.scale_fuse:
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
+      shortcut = upsample(shortcut)
+    else:
+      shortcut = upsample(shortcut)
+      shortcut = self.conv_fn(
+          self.filters, kernel_size=(1, 1), use_bias=True)(shortcut)
     return x + shortcut

@@ -26,6 +26,7 @@ import ml_collections
 from xmcgan_image_generation_tpu.ops import attention as attn_ops
 from xmcgan_image_generation_tpu.ops import contrastive as contrastive_ops
 from xmcgan_image_generation_tpu.ops import mxu_conv
+from xmcgan_image_generation_tpu.ops import scale_fuse
 from xmcgan_image_generation_tpu.ops import normalization
 from xmcgan_image_generation_tpu.ops.normalization import (
     LocalConditionalBatchNorm,
@@ -97,16 +98,18 @@ def _layer_factories(spectral_norm: bool, train: bool, dtype: Any,
     dense_fn = functools.partial(
         SpectralDense, train=train, dtype=dtype, kernel_init=glorot_normal())
   else:
-    if conv_backward == "xla":
-      conv_fn = functools.partial(
-          nn.Conv, dtype=dtype, kernel_init=glorot_normal())
-    else:
-      # The hook keeps the scope name (Conv_N) and param tree identical
-      # to plain nn.Conv — only the conv's VJP rule changes.
-      conv_fn = functools.partial(
-          nn.Conv, dtype=dtype, kernel_init=glorot_normal(),
-          conv_general_dilated=mxu_conv.make_conv_general_dilated(
-              conv_backward))
+    def conv_fn(features, *, scale_op="none", **kw):
+      # Hooks keep the scope name (Conv_N) and param tree identical to
+      # plain nn.Conv — only the conv's computation/VJP rule changes.
+      if scale_op != "none":
+        kw["conv_general_dilated"] = scale_fuse.make_fused_conv_hook(
+            scale_op)
+      elif conv_backward != "xla":
+        kw["conv_general_dilated"] = mxu_conv.make_conv_general_dilated(
+            conv_backward)
+      return nn.Conv(features, dtype=dtype, kernel_init=glorot_normal(),
+                     **kw)
+
     dense_fn = functools.partial(
         nn.Dense, dtype=dtype, kernel_init=glorot_normal())
   return conv_fn, dense_fn
@@ -174,7 +177,8 @@ class Generator(nn.Module):
         conv_fn=conv_fn,
         activation_fn=self.activation_fn,
         norm_fn=norm_fn,
-        dtype=self.dtype)
+        dtype=self.dtype,
+        scale_fuse=config.get("scale_fused_convs", False))
 
     # Global conditioning: projected sentence embedding concat noise
     # (reference nets/xmc_net.py:213-214).
@@ -287,7 +291,8 @@ class Discriminator(nn.Module):
     channels = _DISC_CHANNELS[config.image_size]
     downsamples = _DISC_DOWNSAMPLE[config.image_size]
     block_args = dict(
-        activation_fn=self.activation_fn, conv_fn=conv_fn, dtype=self.dtype)
+        activation_fn=self.activation_fn, conv_fn=conv_fn, dtype=self.dtype,
+        scale_fuse=config.get("scale_fused_convs", False))
 
     x = x.astype(self.dtype)
     # Explicit names: remat must not change the param tree (see Generator).

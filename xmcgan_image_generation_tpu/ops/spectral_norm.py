@@ -123,12 +123,14 @@ class SpectralConv(nn.Module):
   dtype: Any = jnp.float32
   precision: Any = None
   conv_backward: str = "xla"
+  scale_op: str = "none"
   kernel_init: Callable = nn.initializers.lecun_normal()
   bias_init: Callable = zeros
 
   @nn.compact
   def __call__(self, inputs: Array) -> Array:
     from xmcgan_image_generation_tpu.ops import mxu_conv
+    from xmcgan_image_generation_tpu.ops import scale_fuse
 
     kernel_size = ((self.kernel_size,) if isinstance(self.kernel_size, int)
                    else tuple(self.kernel_size))
@@ -145,16 +147,30 @@ class SpectralConv(nn.Module):
     kernel_bar = kernel_bar.reshape(kernel_shape).astype(self.dtype)
 
     strides = self.strides or (1,) * len(kernel_size)
-    # Forward is byte-identical to lax.conv_general_dilated for every
-    # conv_backward setting; the knob only selects the gradient algorithm
-    # (ops/mxu_conv.py — MXU-matmul conv gradients for qualifying shapes).
-    y = mxu_conv.conv2d(
-        inputs.astype(self.dtype),
-        kernel_bar,
-        strides=strides,
-        padding=self.padding,
-        precision=self.precision,
-        algorithm=self.conv_backward)
+    if self.scale_op != "none":
+      # Scale-fused path (ops/scale_fuse.py): the adjacent upsample/pool
+      # is folded into this conv.  Spectral normalization composes
+      # exactly: the fused kernels are linear in kernel_bar, so fusing
+      # the normalized kernel equals resampling the normalized conv.
+      if kernel_size != (3, 3) or tuple(strides) != (1, 1):
+        raise ValueError(
+            f"scale_op={self.scale_op} requires a 3x3/stride-1 conv")
+      fused = (scale_fuse.upsample_conv if self.scale_op == "up"
+               else scale_fuse.conv_pool)
+      y = fused(inputs.astype(self.dtype), kernel_bar,
+                precision=self.precision)
+    else:
+      # Forward is byte-identical to lax.conv_general_dilated for every
+      # conv_backward setting; the knob only selects the gradient
+      # algorithm (ops/mxu_conv.py — MXU-matmul conv gradients for
+      # qualifying shapes).
+      y = mxu_conv.conv2d(
+          inputs.astype(self.dtype),
+          kernel_bar,
+          strides=strides,
+          padding=self.padding,
+          precision=self.precision,
+          algorithm=self.conv_backward)
     if self.use_bias:
       bias = self.param("bias", self.bias_init, (self.features,))
       y = y + bias.astype(self.dtype)
