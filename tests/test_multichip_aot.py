@@ -121,6 +121,13 @@ def flagship_256():
   return _compiled_step_text(_flagship_config("256"))
 
 
+@pytest.fixture(scope="module")
+def flagship_128_scale_fused():
+  config = _flagship_config("128")
+  config.scale_fused_convs = True
+  return _compiled_step_text(config)
+
+
 @pytest.mark.slow
 class TestFlagshipAOT:
 
@@ -161,6 +168,21 @@ class TestFlagshipAOT:
     # Largest legitimate per-device tensors are early conv activations
     # (~tens of MB at batch 16/device).  1 GB headroom catches the
     # multi-GB contrastive blow-up while tolerating fusion scratch.
+    assert nbytes < 1024 * 1024 * 1024, f"{desc} = {nbytes / 1e6:.0f} MB"
+
+  def test_128_scale_fused_partitioning(self, flagship_128_scale_fused):
+    """The scale-fused convs (ops/scale_fuse.py) change every G/D conv
+    shape; the partitioning invariants must survive the rewrite."""
+    text, config = flagship_128_scale_fused
+    counts = collective_counts(text)
+    print("128px scale-fused collectives:", counts)
+    assert counts.get("all-reduce", 0) >= 1
+    assert counts.get("all-gather", 0) >= 1
+    blowups = _word_loss_blowup(text, config)
+    assert not blowups, [
+        f"{d}{list(dims)} ({n / 1e6:.0f} MB)" for d, dims, n in blowups]
+    nbytes, desc = max_tensor_bytes(text)
+    print(f"128px scale-fused largest tensor: {desc} = {nbytes/1e6:.0f} MB")
     assert nbytes < 1024 * 1024 * 1024, f"{desc} = {nbytes / 1e6:.0f} MB"
 
   def test_256_collectives_and_sizes(self, flagship_256):
