@@ -133,6 +133,7 @@ class TestConvHook:
 
 class TestModelIntegration:
 
+  @pytest.mark.heavy
   def test_step_grads_invariant_to_conv_backward(self):
     """The full G+D update must be numerically insensitive to the knob."""
     from xmcgan_image_generation_tpu.configs.coco_xmc import get_test_config

@@ -114,6 +114,7 @@ class TestBlocks:
 
 class TestModel:
 
+  @pytest.mark.heavy
   def test_step_equivalent_to_unfused(self):
     """Full G+D train step: same init, metrics must agree closely."""
     from xmcgan_image_generation_tpu.configs.coco_xmc import get_test_config
