@@ -147,7 +147,12 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
     raise ValueError("Statistics shapes do not match")
 
   diff = mu1 - mu2
-  covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+  # scipy >= 1.18 drops sqrtm's `disp` argument (and the errest return);
+  # non-finite results are detected from the matrix itself either way.
+  with np.errstate(all="ignore"):
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+  if isinstance(covmean, tuple):  # older scipy with disp semantics
+    covmean = covmean[0]
   if not np.isfinite(covmean).all():
     offset = np.eye(sigma1.shape[0]) * eps
     covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
