@@ -317,6 +317,7 @@ class TestPipeline:
     np.testing.assert_array_equal(b_zoom["image"], b_shift["image"])
     assert not np.array_equal(b_zoom["image_aug"], b_shift["image_aug"])
 
+  @pytest.mark.heavy
   def test_worker_processes_match_inline(self):
     # The prod config runs grain with worker processes
     # (configs/coco_xmc.py grain_worker_count=8).  Workers interleave

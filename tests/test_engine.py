@@ -61,6 +61,7 @@ class TestDualCotangentVJP:
   """The single-forward two-backward update must produce exactly the
   gradients of d_loss wrt d_params and g_loss wrt g_params."""
 
+  @pytest.mark.heavy
   def test_grads_match_independent_grad_calls(self):
     config = tiny_config()
     batch, generator, discriminator, state = setup(config)

@@ -112,6 +112,7 @@ class TestShardedWordScores:
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=1e-5)
 
+  @pytest.mark.heavy
   def test_sharded_gradients(self):
     from xmcgan_image_generation_tpu.parallel import MeshRules
 

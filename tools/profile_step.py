@@ -358,6 +358,8 @@ def main():
   parser.add_argument("--skip_micro", action="store_true")
   parser.add_argument("--skip_census", action="store_true")
   parser.add_argument("--use_pallas", action="store_true")
+  parser.add_argument("--scale_fused_convs", type=int, default=None,
+                      help="1/0: override config.scale_fused_convs")
   parser.add_argument("--json_out", default="")
   args = parser.parse_args()
 
@@ -370,6 +372,8 @@ def main():
   config.data_source = "synthetic"
   if args.use_pallas:
     config.use_pallas = True
+  if args.scale_fused_convs is not None:
+    config.scale_fused_convs = bool(args.scale_fused_convs)
 
   log(f"devices: {jax.devices()}")
   rows, full, state, super_batch = program_level(config, args)
