@@ -287,7 +287,23 @@ def main():
       compiler_options[name] = value
 
   n_steps = args.steps or (3 if args.quick else 10)
+
+  # Device acquisition watchdog: when the axon TPU tunnel is down, the
+  # first backend touch blocks inside PJRT with multi-minute retries.
+  # Fail fast with a diagnosable message instead of hanging the caller.
+  import os
+  import threading
+
+  def _no_devices():
+    log("FATAL: no XLA backend became ready within 180s "
+        "(TPU tunnel down?); aborting benchmark")
+    os._exit(3)
+
+  watchdog = threading.Timer(180.0, _no_devices)
+  watchdog.daemon = True
+  watchdog.start()
   n_chips = jax.device_count()
+  watchdog.cancel()
   log(f"devices: {jax.devices()}")
 
   if args.image_size == 256:
