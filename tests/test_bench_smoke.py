@@ -16,6 +16,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_json_contract(tmp_path):
   env = dict(os.environ)
   env["JAX_PLATFORMS"] = "cpu"
+  # Keep sitecustomize from registering the axon TPU plugin: with the
+  # tunnel down its backend init blocks regardless of JAX_PLATFORMS.
+  env.pop("PALLAS_AXON_POOL_IPS", None)
   # Isolate the baseline cache so this test never poisons the real one.
   proc = subprocess.run(
       [sys.executable, os.path.join(REPO, "bench.py"),
