@@ -1,0 +1,129 @@
+"""Serving export: the trained generator as a portable StableHLO artifact.
+
+The reference has no serving story — inference means restoring the full
+training checkpoint inside the training codebase (reference
+xmcgan/train_utils.py:245-309).  For production deployment the TPU-native
+path is ``jax.export``: ahead-of-time lower the inference-mode generator
+(normal or EMA weights baked in as constants) to a serialized StableHLO
+module that any PJRT runtime can load and run **without this framework,
+Flax, or the checkpoint** — only ``jax.export.deserialize`` (or a raw
+StableHLO consumer) is needed at serving time.
+
+The exported function has the pure signature::
+
+    (sentence_embedding [B, 768], embedding [B, L, 768],
+     max_len [B, 1], z [B, z_dim]) -> float32 images [B, S, S, 3] in [0, 1]
+
+``B`` is either a static batch size or a symbolic dimension (``poly_batch``)
+so one artifact serves any batch size.  BatchNorm uses the checkpoint's
+running averages and spectral-norm layers their stored ``u0`` (train=False:
+no mutable state remains, which is what makes the function pure/exportable).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from jax import export as jax_export
+import jax.numpy as jnp
+import ml_collections
+
+Array = jnp.ndarray
+
+#: Text conditioning constants (reference libml/dataset_constants.py:15-20).
+BERT_DIM = 768
+COCO_MAX_TEXT_LENGTH = 17
+
+
+def generator_serving_fn(
+    generator: functools.partial,
+    variables: Dict[str, Any],
+    config: ml_collections.ConfigDict,
+):
+  """Returns the pure inference function with weights closed over.
+
+  ``variables`` is ``{"params": ..., "batch_stats": ...}`` (plus any other
+  inference collections); pass ``ema_params`` as ``params`` for the EMA
+  artifact.  ``jax.jit`` treats the closed-over pytree as constants, so the
+  exported module embeds the weights.
+  """
+  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+  def serve(sentence_embedding: Array, embedding: Array, max_len: Array,
+            z: Array) -> Array:
+    cond = {
+        "sentence_embedding": sentence_embedding.astype(dtype),
+        "embedding": embedding.astype(dtype),
+        "max_len": max_len.astype(dtype),
+    }
+    images = generator(train=False).apply(
+        variables, (cond, z.astype(dtype)), mutable=False)
+    return images.astype(jnp.float32)
+
+  return serve
+
+
+def export_generator(
+    generator: functools.partial,
+    variables: Dict[str, Any],
+    config: ml_collections.ConfigDict,
+    *,
+    batch_size: Optional[int] = None,
+    text_len: int = COCO_MAX_TEXT_LENGTH,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> jax_export.Exported:
+  """AOT-exports the generator; ``batch_size=None`` -> symbolic batch dim.
+
+  ``platforms`` pins the lowering targets (e.g. ``("tpu", "cpu")``); the
+  default exports for the current backend only.
+  """
+  serve = generator_serving_fn(generator, variables, config)
+  if batch_size is None:
+    (b,) = jax_export.symbolic_shape("b")
+  else:
+    b = batch_size
+  f32 = jnp.float32
+  args = (
+      jax.ShapeDtypeStruct((b, BERT_DIM), f32),
+      jax.ShapeDtypeStruct((b, text_len, BERT_DIM), f32),
+      jax.ShapeDtypeStruct((b, 1), f32),
+      jax.ShapeDtypeStruct((b, config.z_dim), f32),
+  )
+  kwargs = {}
+  if platforms is not None:
+    kwargs["platforms"] = list(platforms)
+  return jax_export.export(jax.jit(serve), **kwargs)(*args)
+
+
+def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
+                      step: Optional[int], batch_size: Optional[int],
+                      text_len: int = COCO_MAX_TEXT_LENGTH) -> str:
+  """JSON sidecar describing the artifact's interface for consumers."""
+  b: Any = batch_size if batch_size is not None else "b"
+  return json.dumps(
+      {
+          "weights": weights,
+          "step": step,
+          "image_size": config.image_size,
+          "inputs": {
+              "sentence_embedding": [b, BERT_DIM],
+              "embedding": [b, text_len, BERT_DIM],
+              "max_len": [b, 1],
+              "z": [b, config.z_dim],
+          },
+          "input_dtype": "float32",
+          "output": {
+              "image": [b, config.image_size, config.image_size, 3],
+              "dtype": "float32",
+              "range": [0.0, 1.0],
+          },
+      },
+      indent=2, sort_keys=True)
+
+
+def load_exported(data: bytes) -> jax_export.Exported:
+  """Deserializes a serving artifact; call it via ``.call(*inputs)``."""
+  return jax_export.deserialize(bytearray(data))
