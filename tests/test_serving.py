@@ -143,6 +143,27 @@ def test_weights_are_baked_in(tiny_setup):
   assert not np.allclose(np.asarray(out), np.asarray(out_zero))
 
 
+def test_scale_fused_config_exports_same_images(tiny_setup):
+  """An artifact exported under scale_fused_convs reproduces the unfused
+  artifact on the same weights (the param tree is shared by design)."""
+  config, generator, variables = tiny_setup
+  fused_config = get_test_config()
+  with fused_config.unlocked():
+    fused_config.dtype = "float32"
+    fused_config.scale_fused_convs = True
+  from xmcgan_image_generation_tpu.models import get_architecture
+  fused_generator, _ = get_architecture(fused_config, jnp.float32)
+
+  inputs = _inputs(config, 2)
+  base = serving.export_generator(
+      generator, variables, config, batch_size=2).call(*inputs)
+  fused = serving.export_generator(
+      fused_generator, variables, fused_config, batch_size=2).call(*inputs)
+  # Exact up to re-association of 2-3 kernel-weight additions.
+  np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                             rtol=2e-5, atol=2e-5)
+
+
 def test_export_cli_from_trained_workdir(tmp_path, monkeypatch):
   """tools/export_serving.py end to end: train 2 steps, export, serve."""
   from xmcgan_image_generation_tpu import train as train_lib

@@ -27,8 +27,9 @@ _CONFIG = config_flags.DEFINE_config_file(
 _WORKDIR = flags.DEFINE_string("workdir", None, "Work unit directory.")
 _MODE = flags.DEFINE_string(
     "mode", "train",
-    "Mode: 'train', 'test' (continuous eval), or 'generate' (write sample "
-    "grids from the latest checkpoint).")
+    "Mode: 'train', 'test' (continuous eval), 'generate' (write sample "
+    "grids from the latest checkpoint), or 'export' (write standalone "
+    "StableHLO serving artifacts from the latest checkpoint).")
 _MULTIPROCESS = flags.DEFINE_bool(
     "multiprocess", False,
     "Call jax.distributed.initialize() for multi-controller runs.")
@@ -68,6 +69,10 @@ def main(argv):
   elif _MODE.value == "generate":
     from xmcgan_image_generation_tpu import generate as gen_lib
     gen_lib.generate(config, workdir)
+  elif _MODE.value == "export":
+    from xmcgan_image_generation_tpu.utils import serving
+    for path in serving.export_from_workdir(config, workdir):
+      logging.info("Wrote serving artifact %s", path)
   else:
     raise app.UsageError(f"Unknown --mode {_MODE.value!r}")
 

@@ -127,3 +127,70 @@ def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
 def load_exported(data: bytes) -> jax_export.Exported:
   """Deserializes a serving artifact; call it via ``.call(*inputs)``."""
   return jax_export.deserialize(bytearray(data))
+
+
+def export_from_workdir(
+    config: ml_collections.ConfigDict,
+    workdir: str,
+    *,
+    step: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    weights: str = "ema",
+    platforms: Optional[Tuple[str, ...]] = None,
+    out_dir: Optional[str] = None,
+) -> list:
+  """Restores a checkpoint and writes serving artifacts; returns paths.
+
+  The shared implementation behind ``--mode=export`` and
+  ``tools/export_serving.py``.  ``weights`` is ``"ema"``, ``"normal"`` or
+  ``"both"``; ``batch_size=None`` exports a symbolic batch dimension.
+  """
+  import os
+
+  from xmcgan_image_generation_tpu.engine import create_train_state
+  from xmcgan_image_generation_tpu.parallel import MeshRules
+  from xmcgan_image_generation_tpu.utils.checkpoint import (
+      CheckpointManager, checkpoints_dir)
+
+  if weights not in ("ema", "normal", "both"):
+    raise ValueError(f"weights must be ema|normal|both, got {weights!r}")
+  rules = MeshRules.create(config.get("mesh_data", -1),
+                           config.get("mesh_model", 1))
+  s = config.image_size
+  init_batch = {
+      "image": jnp.zeros((2, s, s, 3), jnp.float32),
+      "sentence_embedding": jnp.zeros((2, BERT_DIM), jnp.float32),
+      "embedding": jnp.zeros((2, COCO_MAX_TEXT_LENGTH, BERT_DIM),
+                             jnp.float32),
+      "max_len": jnp.full((2, 1), float(COCO_MAX_TEXT_LENGTH), jnp.float32),
+      "z": jnp.zeros((2, config.z_dim), jnp.float32),
+  }
+  generator, _, template = create_train_state(
+      config, jax.random.PRNGKey(config.seed), init_batch)
+
+  ckpt = CheckpointManager(checkpoints_dir(workdir), with_data_iter=False)
+  step = step if step is not None else ckpt.latest_step()
+  if step is None:
+    raise FileNotFoundError(f"No checkpoints in {checkpoints_dir(workdir)}")
+  state = ckpt.restore(step, template, sharding=rules.replicated)
+  ckpt.close()
+
+  out_dir = out_dir or os.path.join(workdir, "serving")
+  os.makedirs(out_dir, exist_ok=True)
+  names = {"ema": ["ema"], "normal": ["normal"],
+           "both": ["ema", "normal"]}[weights]
+  written = []
+  for name in names:
+    params = state.ema_params if name == "ema" else state.g_params
+    variables = {"params": params, **state.generator_state}
+    exported = export_generator(
+        generator, variables, config, batch_size=batch_size,
+        platforms=platforms)
+    base = os.path.join(out_dir, f"generator_{name}_step{step:08d}")
+    with open(base + ".stablehlo", "wb") as f:
+      f.write(bytes(exported.serialize()))
+    with open(base + ".json", "w") as f:
+      f.write(artifact_metadata(config, weights=name, step=step,
+                                batch_size=batch_size))
+    written.append(base + ".stablehlo")
+  return written
