@@ -100,6 +100,7 @@ def test_artifact_metadata(tiny_setup):
       "b", config.image_size, config.image_size, 3]
 
 
+@pytest.mark.heavy
 def test_bfloat16_flagship_dtype_export(tiny_setup):
   """The flagship dtype (bf16) exports and stays within bf16 ULP drift."""
   config, _, _ = tiny_setup
@@ -164,6 +165,7 @@ def test_scale_fused_config_exports_same_images(tiny_setup):
                              rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_export_cli_from_trained_workdir(tmp_path, monkeypatch):
   """tools/export_serving.py end to end: train 2 steps, export, serve."""
   from xmcgan_image_generation_tpu import train as train_lib
