@@ -108,6 +108,7 @@ def bench_reference_jit(config, batch_size, n_steps):
   ref_config = copy.deepcopy(config)
   ref_config.fused_spatial_cond = False
   ref_config.use_pallas = False
+  ref_config.scale_fused_convs = False  # ours-only optimization
   step, state, super_batch = build(ref_config, batch_size)
   from xmcgan_image_generation_tpu.parallel import MeshRules
   from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
@@ -277,6 +278,9 @@ def main():
   parser.add_argument("--scale_fused_convs", type=int, default=None,
                       help="1/0: fold G upsamples / D pools into the "
                            "adjacent convs (ops/scale_fuse.py)")
+  parser.add_argument("--test_config", action="store_true",
+                      help="tiny get_test_config dims (CI smoke of the "
+                           "bench pipeline itself; not a benchmark)")
   args = parser.parse_args()
 
   compiler_options = None
@@ -306,13 +310,19 @@ def main():
   watchdog.cancel()
   log(f"devices: {jax.devices()}")
 
-  if args.image_size == 256:
+  if args.test_config:
+    from xmcgan_image_generation_tpu.configs.coco_xmc import get_test_config
+    config = get_test_config()
+    args.image_size = config.image_size
+  elif args.image_size == 256:
     # The paper 256px configuration (selective remat etc.).
     from xmcgan_image_generation_tpu.configs.coco_xmc_256 import get_config
+    config = get_config()
+    config.image_size = args.image_size
   else:
     from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
-  config = get_config()
-  config.image_size = args.image_size
+    config = get_config()
+    config.image_size = args.image_size
   config.data_source = "synthetic"
   if args.use_pallas:
     config.use_pallas = True
@@ -333,33 +343,68 @@ def main():
     candidates = [16 * max(1, n_chips), 8]
   else:
     candidates = [56 * max(1, n_chips // 8), 28, 14]
-  built = None
-  for bs in candidates:
-    try:
-      step, state0, super_batch = build(config, bs)
-      # Keep a pristine copy: the gspmd variant donates its state.
-      state_copy = jax.jit(
-          lambda s: jax.tree_util.tree_map(jnp.copy, s))(state0)
-      sec_per_step = bench_gspmd(step, state0, super_batch, n_steps,
-                                 compiler_options=compiler_options)
-      built = (step, state_copy, super_batch, bs, sec_per_step)
-      break
-    except Exception as e:  # noqa: BLE001 - OOM fallback
-      if _is_oom(e):
-        log(f"batch {bs} OOM, retrying smaller")
-        continue
-      raise
+
+  def measure_variant(cfg, cands):
+    for bs in cands:
+      try:
+        step, state0, super_batch = build(cfg, bs)
+        # Keep a pristine copy: the gspmd variant donates its state.
+        state_copy = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s))(state0)
+        sec = bench_gspmd(step, state0, super_batch, n_steps,
+                          compiler_options=compiler_options)
+        return step, state_copy, super_batch, bs, sec
+      except Exception as e:  # noqa: BLE001 - OOM fallback
+        if _is_oom(e):
+          log(f"batch {bs} OOM, retrying smaller")
+          continue
+        raise
+    return None
+
+  built = measure_variant(config, candidates)
   if built is None:
     raise RuntimeError("All batch sizes OOMed")
   step, state_copy, super_batch, batch_size, sec_per_step = built
 
   images_per_step = batch_size * config.d_step_per_g_step
   throughput = images_per_step / sec_per_step / n_chips
-  log(f"gspmd: {sec_per_step*1e3:.1f} ms/step, batch {batch_size}, "
+  log(f"gspmd ({'fused' if config.scale_fused_convs else 'naive'} convs): "
+      f"{sec_per_step*1e3:.1f} ms/step, batch {batch_size}, "
       f"{throughput:.2f} images/sec/chip")
 
   vs_baseline = 1.0
   extra = {}
+
+  # Conv-pipeline A/B: with no explicit --scale_fused_convs, measure the
+  # other pipeline (scale-fused vs naive resample+conv — ops/scale_fuse.py)
+  # at the same batch and report whichever wins.  The two are numerically
+  # equivalent (tests/test_scale_fuse.py); this is a pure implementation
+  # choice, so the headline is the framework's best configuration.
+  if args.scale_fused_convs is None:
+    import copy as _copy
+
+    alt_config = _copy.deepcopy(config)
+    alt_config.scale_fused_convs = not config.scale_fused_convs
+    try:
+      alt = measure_variant(alt_config, [batch_size])
+    except Exception as e:  # noqa: BLE001 - A/B is best-effort
+      log(f"conv-pipeline A/B variant failed ({type(e).__name__}: {e})")
+      alt = None
+    if alt is not None:
+      _, alt_state, alt_batch, _, alt_sec = alt
+      alt_tp = images_per_step / alt_sec / n_chips
+      names = {True: "fused", False: "naive"}
+      log(f"gspmd ({names[alt_config.scale_fused_convs]} convs): "
+          f"{alt_sec*1e3:.1f} ms/step, batch {batch_size}, "
+          f"{alt_tp:.2f} images/sec/chip")
+      extra["conv_pipeline"] = {
+          names[config.scale_fused_convs]: round(throughput, 3),
+          names[alt_config.scale_fused_convs]: round(alt_tp, 3),
+      }
+      if alt_tp > throughput:
+        config, throughput, sec_per_step = alt_config, alt_tp, alt_sec
+        step, state_copy, super_batch = alt[0], alt_state, alt_batch
+      extra["conv_pipeline"]["selected"] = names[config.scale_fused_convs]
   if not args.skip_baseline:
     ref_throughput = _baseline_throughput(
         args, config, n_steps, n_chips, batch_size)
@@ -385,8 +430,9 @@ def main():
       "metric": f"xmcgan-{args.image_size}px train throughput "
                 f"(batch {batch_size}, d_steps "
                 f"{config.d_step_per_g_step}, "
-                f"{'pallas, ' if config.use_pallas else ''}bf16) "
-                "[baseline=jit-reference-design]",
+                f"{'pallas, ' if config.use_pallas else ''}"
+                f"{'scale-fused, ' if config.scale_fused_convs else ''}"
+                "bf16) [baseline=jit-reference-design]",
       "value": round(throughput, 3),
       "unit": "images/sec/chip",
       "vs_baseline": round(vs_baseline, 4),

@@ -23,7 +23,7 @@ def test_bench_json_contract(tmp_path):
   proc = subprocess.run(
       [sys.executable, os.path.join(REPO, "bench.py"),
        "--image_size", "32", "--batch_size", "8", "--steps", "1",
-       "--skip_baseline"],
+       "--skip_baseline", "--scale_fused_convs", "0"],
       capture_output=True, text=True, timeout=1500, cwd=str(tmp_path),
       env=env)
   assert proc.returncode == 0, proc.stderr[-4000:]
@@ -33,3 +33,24 @@ def test_bench_json_contract(tmp_path):
   assert out["value"] > 0
   assert "vs_baseline" in out
   assert "32px" in out["metric"]
+
+
+@pytest.mark.slow
+def test_bench_conv_pipeline_ab(tmp_path):
+  """No --scale_fused_convs => bench A/Bs both conv pipelines at the same
+  batch and reports the winner (tiny dims via --test_config)."""
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "cpu"
+  env.pop("PALLAS_AXON_POOL_IPS", None)
+  proc = subprocess.run(
+      [sys.executable, os.path.join(REPO, "bench.py"),
+       "--test_config", "--batch_size", "8", "--steps", "1",
+       "--skip_baseline"],
+      capture_output=True, text=True, timeout=1500, cwd=str(tmp_path),
+      env=env)
+  assert proc.returncode == 0, proc.stderr[-4000:]
+  out = json.loads(proc.stdout.strip().splitlines()[-1])
+  ab = out["conv_pipeline"]
+  assert set(ab) == {"naive", "fused", "selected"}
+  assert ab["selected"] in ("naive", "fused")
+  assert out["value"] == pytest.approx(max(ab["naive"], ab["fused"]))
