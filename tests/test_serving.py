@@ -166,6 +166,26 @@ def test_scale_fused_config_exports_same_images(tiny_setup):
 
 
 @pytest.mark.heavy
+def test_serving_bench_tool(monkeypatch, capsys):
+  """tools/serving_bench.py runs and emits its JSON contract."""
+  tools_dir = os.path.join(
+      os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+  sys.path.insert(0, tools_dir)
+  try:
+    import serving_bench
+    monkeypatch.setattr(sys, "argv", [
+        "serving_bench.py", "--config_module", "coco_xmc:test",
+        "--batch_size", "4", "--steps", "2",
+    ])
+    serving_bench.main()
+  finally:
+    sys.path.remove(tools_dir)
+  out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert out["images_per_sec_jit"] > 0
+  assert out["images_per_sec_exported"] > 0
+
+
+@pytest.mark.heavy
 def test_export_cli_from_trained_workdir(tmp_path, monkeypatch):
   """tools/export_serving.py end to end: train 2 steps, export, serve."""
   from xmcgan_image_generation_tpu import train as train_lib

@@ -1,0 +1,130 @@
+"""Inference/serving throughput: exported artifact vs in-framework jit.
+
+Times single-device generator inference (the serving hot path) two ways:
+
+  1. in-framework: ``jax.jit`` of the inference-mode generator apply;
+  2. exported: the ``jax.export`` StableHLO artifact round-tripped through
+     ``serialize``/``deserialize`` (what a standalone serving runtime runs).
+
+Both paths execute the same program on the same weights, so any gap is
+serialization/calling overhead — expected ~0.  Prints one JSON line with
+images/sec for each path.
+
+Usage (random-init weights unless --workdir has a checkpoint):
+  python tools/serving_bench.py [--config_module coco_xmc[:variant]]
+      [--workdir DIR] [--batch_size 64] [--steps 20]
+"""
+
+import argparse
+import importlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+  print(*a, file=sys.stderr, flush=True)
+
+
+def load_config(spec: str):
+  module, _, variant = spec.partition(":")
+  mod = importlib.import_module(
+      f"xmcgan_image_generation_tpu.configs.{module}")
+  return mod.get_config(variant) if variant else mod.get_config()
+
+
+def time_calls(fn, inputs, steps):
+  out = fn(*inputs)            # compile + warm
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  for _ in range(steps):
+    out = fn(*inputs)
+  jax.block_until_ready(out)
+  return (time.perf_counter() - t0) / steps
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--config_module", default="coco_xmc")
+  p.add_argument("--workdir", default=None,
+                 help="training workdir with checkpoints (default: "
+                      "random-init weights — timing only)")
+  p.add_argument("--batch_size", type=int, default=64)
+  p.add_argument("--steps", type=int, default=20)
+  args = p.parse_args()
+
+  from xmcgan_image_generation_tpu.engine import create_train_state
+  from xmcgan_image_generation_tpu.utils import serving
+
+  config = load_config(args.config_module)
+  b = args.batch_size
+  s = config.image_size
+  init_batch = {
+      "image": jnp.zeros((2, s, s, 3), jnp.float32),
+      "sentence_embedding": jnp.zeros((2, serving.BERT_DIM), jnp.float32),
+      "embedding": jnp.zeros((2, serving.COCO_MAX_TEXT_LENGTH,
+                              serving.BERT_DIM), jnp.float32),
+      "max_len": jnp.full((2, 1), 17.0, jnp.float32),
+      "z": jnp.zeros((2, config.z_dim), jnp.float32),
+  }
+  generator, _, state = create_train_state(
+      config, jax.random.PRNGKey(config.seed), init_batch)
+  if args.workdir:
+    from xmcgan_image_generation_tpu.parallel import MeshRules
+    from xmcgan_image_generation_tpu.utils.checkpoint import (
+        CheckpointManager, checkpoints_dir)
+    rules = MeshRules.create(config.get("mesh_data", -1),
+                             config.get("mesh_model", 1))
+    ckpt = CheckpointManager(checkpoints_dir(args.workdir),
+                             with_data_iter=False)
+    step = ckpt.latest_step()
+    if step is not None:
+      state = ckpt.restore(step, state, sharding=rules.replicated)
+      log(f"restored checkpoint step {step}")
+    ckpt.close()
+  variables = {"params": state.ema_params, **state.generator_state}
+
+  rng = np.random.RandomState(0)
+  inputs = tuple(jnp.asarray(x) for x in (
+      rng.randn(b, serving.BERT_DIM).astype(np.float32),
+      rng.randn(b, serving.COCO_MAX_TEXT_LENGTH,
+                serving.BERT_DIM).astype(np.float32),
+      rng.randint(3, 18, size=(b, 1)).astype(np.float32),
+      rng.randn(b, config.z_dim).astype(np.float32),
+  ))
+
+  jitted = jax.jit(serving.generator_serving_fn(generator, variables,
+                                                config))
+  sec_jit = time_calls(jitted, inputs, args.steps)
+  log(f"in-framework jit: {sec_jit*1e3:.2f} ms/batch, "
+      f"{b/sec_jit:.1f} images/sec")
+
+  exported = serving.export_generator(generator, variables, config,
+                                      batch_size=b)
+  restored = serving.load_exported(bytes(exported.serialize()))
+  sec_art = time_calls(restored.call, inputs, args.steps)
+  log(f"exported artifact: {sec_art*1e3:.2f} ms/batch, "
+      f"{b/sec_art:.1f} images/sec")
+
+  print(json.dumps({
+      "metric": f"xmcgan-{config.image_size}px generator serving "
+                f"throughput (batch {b})",
+      "images_per_sec_jit": round(b / sec_jit, 2),
+      "images_per_sec_exported": round(b / sec_art, 2),
+      "export_overhead": round(sec_art / sec_jit, 4),
+      "unit": "images/sec",
+  }))
+
+
+if __name__ == "__main__":
+  main()
