@@ -46,6 +46,7 @@ from xmcgan_image_generation_tpu.utils.metric_writer import (
     Profile,
     ReportProgress,
 )
+from xmcgan_image_generation_tpu.utils.preemption import PreemptionGuard
 from xmcgan_image_generation_tpu.utils.task_manager import (
     TaskManagerWithCsvResults,
 )
@@ -147,6 +148,13 @@ def train(config: ml_collections.ConfigDict, workdir: str,
     hooks.append(Profile(workdir, profile_step=10, num_profile_steps=5))
   acc = MetricAccumulator()
 
+  # Preemption (SIGTERM) checkpoints at an agreed step and exits cleanly
+  # WITHOUT TRAIN_DONE, so a restarted job resumes where it stopped.
+  guard = PreemptionGuard(workdir, initial_step,
+                          process_index=jax.process_index())
+  guard.install()
+  preempted_at = None
+
   log.info("Starting training loop at step %d.", initial_step)
   for step in range(initial_step, num_train_steps + 1):
     is_last = step == num_train_steps
@@ -173,15 +181,25 @@ def train(config: ml_collections.ConfigDict, workdir: str,
               "original_image": sample["image"],
           }, max_images=config.show_num)
 
-    if step % config.checkpoint_every_steps == 0 or is_last:
+    preempt_now = guard.should_stop(step)
+    if (step % config.checkpoint_every_steps == 0 or is_last
+        or preempt_now):
       t0 = time.monotonic()
       ckpt.save(step, jax.device_get(state), train_iter)
       log.info("checkpoint @%d saved in %.2fs", step,
                time.monotonic() - t0)
+    if preempt_now:
+      preempted_at = step
+      break
 
+  guard.uninstall()
   ckpt.wait_until_finished()
   ckpt.close()
   writer.flush()
+  if preempted_at is not None:
+    log.info("Preempted: stopped and checkpointed at step %d (of %d); "
+             "restart to resume.", preempted_at, num_train_steps)
+    return
   if jax.process_index() == 0:
     task_manager.mark_training_done()
   log.info("Finished training at step %d.", num_train_steps)
