@@ -165,6 +165,41 @@ def test_scale_fused_config_exports_same_images(tiny_setup):
                              rtol=2e-5, atol=2e-5)
 
 
+def test_sharded_export_batch_parallel(tiny_setup):
+  """A mesh export serves one batch across all 8 devices and matches the
+  single-device artifact."""
+  config, generator, variables = tiny_setup
+  mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(8), ("data",))
+  exported = serving.export_generator(
+      generator, variables, config, batch_size=8, mesh=mesh)
+  restored = serving.load_exported(bytes(exported.serialize()))
+
+  inputs = _inputs(config, 8)
+  # Consumer-side placement: rebuild the shardings on the consumer mesh.
+  in_sh = restored.in_shardings_jax(mesh)
+  placed = tuple(jax.device_put(x, s) for x, s in zip(inputs, in_sh))
+  out = restored.call(*placed)
+  assert out.shape == (8, config.image_size, config.image_size, 3)
+  # The output itself comes back sharded over the batch axis.
+  assert len({sh.device.id for sh in out.addressable_shards}) == 8
+
+  single = serving.export_generator(
+      generator, variables, config, batch_size=8).call(*inputs)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                             atol=1e-4)
+
+
+def test_sharded_export_rejects_bad_batch(tiny_setup):
+  config, generator, variables = tiny_setup
+  mesh = jax.sharding.Mesh(np.array(jax.devices()).reshape(8), ("data",))
+  with pytest.raises(ValueError, match="divisible"):
+    serving.export_generator(generator, variables, config, batch_size=6,
+                             mesh=mesh)
+  with pytest.raises(ValueError, match="static batch_size"):
+    serving.export_generator(generator, variables, config, batch_size=None,
+                             mesh=mesh)
+
+
 @pytest.mark.heavy
 def test_serving_bench_tool(monkeypatch, capsys):
   """tools/serving_bench.py runs and emits its JSON contract."""

@@ -74,14 +74,26 @@ def export_generator(
     batch_size: Optional[int] = None,
     text_len: int = COCO_MAX_TEXT_LENGTH,
     platforms: Optional[Tuple[str, ...]] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    mesh_axis: str = "data",
 ) -> jax_export.Exported:
   """AOT-exports the generator; ``batch_size=None`` -> symbolic batch dim.
 
   ``platforms`` pins the lowering targets (e.g. ``("tpu", "cpu")``); the
   default exports for the current backend only.
+
+  ``mesh`` exports a MULTI-DEVICE artifact: inputs/outputs are sharded
+  ``P(mesh_axis)`` on the batch dimension, so one ``call`` batch-parallels
+  inference across the consumer's devices (weights replicated — the
+  serving analogue of the training data axis).  The consumer rebuilds the
+  placement with ``Exported.in_shardings_jax(consumer_mesh)`` on any mesh
+  with the same device count.  Requires a static ``batch_size`` divisible
+  by the axis size.
   """
   serve = generator_serving_fn(generator, variables, config)
   if batch_size is None:
+    if mesh is not None:
+      raise ValueError("sharded export requires a static batch_size")
     (b,) = jax_export.symbolic_shape("b")
   else:
     b = batch_size
@@ -92,10 +104,22 @@ def export_generator(
       jax.ShapeDtypeStruct((b, 1), f32),
       jax.ShapeDtypeStruct((b, config.z_dim), f32),
   )
+  if mesh is not None:
+    axis = mesh.shape[mesh_axis]
+    if batch_size % axis:
+      raise ValueError(
+          f"batch_size {batch_size} not divisible by mesh axis "
+          f"{mesh_axis!r} ({axis} devices)")
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(mesh_axis))
+    jitted = jax.jit(serve, in_shardings=(sharding,) * 4,
+                     out_shardings=sharding)
+  else:
+    jitted = jax.jit(serve)
   kwargs = {}
   if platforms is not None:
     kwargs["platforms"] = list(platforms)
-  return jax_export.export(jax.jit(serve), **kwargs)(*args)
+  return jax_export.export(jitted, **kwargs)(*args)
 
 
 def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
