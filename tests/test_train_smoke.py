@@ -72,6 +72,45 @@ class TestTrainSmoke:
     # The resumed run must not have re-run steps 1-2.
     assert steps.count(3) >= 1 and steps.count(4) >= 1
 
+  @pytest.mark.heavy
+  def test_resume_is_bit_identical_to_uninterrupted(self, tmp_path):
+    """Checkpoint/resume must be invisible: params after 2+2 resumed
+    steps equal params after 4 uninterrupted steps (exact data-iterator
+    resume + per-step rng folding)."""
+    wd_straight = str(tmp_path / "straight")
+    train_lib.train(smoke_config(num_steps=4), wd_straight)
+    wd_resumed = str(tmp_path / "resumed")
+    train_lib.train(smoke_config(num_steps=2), wd_resumed)
+    train_lib.train(smoke_config(num_steps=4), wd_resumed)
+
+    def final_params(workdir):
+      from xmcgan_image_generation_tpu.engine import create_train_state
+      from __graft_entry__ import _example_batch
+      from xmcgan_image_generation_tpu.engine.step import split_batch
+      config = smoke_config()
+      batch = split_batch(
+          _example_batch(config,
+                         config.batch_size * config.d_step_per_g_step),
+          config.d_step_per_g_step)[0]
+      _, _, template = create_train_state(config, jax.random.PRNGKey(0),
+                                          batch)
+      mngr = CheckpointManager(checkpoints_dir(workdir))
+      state = mngr.restore(4, template)
+      mngr.close()
+      return state
+
+    a = final_params(wd_straight)
+    b = final_params(wd_resumed)
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.g_params),
+                      jax.tree_util.tree_leaves(b.g_params)):
+      np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.d_params),
+                      jax.tree_util.tree_leaves(b.d_params)):
+      np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.ema_params),
+                      jax.tree_util.tree_leaves(b.ema_params)):
+      np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
   def test_num_train_steps_epoch_math(self):
     config = smoke_config()
     config.num_train_steps = -1
