@@ -77,7 +77,7 @@ def _flagship_config(which):
   return config
 
 
-def _compiled_step_text(config):
+def _lowered_step(config):
   rules = MeshRules.create(data=N_DEV, model=1,
                            devices=jax.devices()[:N_DEV])
   super_n = config.batch_size * config.d_step_per_g_step
@@ -107,7 +107,11 @@ def _compiled_step_text(config):
                         additional_data={}),
       donate_argnums=(1,))
   rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
-  compiled = step_fn.lower(rng, state, batch).compile()
+  return step_fn.lower(rng, state, batch)
+
+
+def _compiled_step_text(config):
+  compiled = _lowered_step(config).compile()
   return compiled.as_text(), config
 
 
@@ -197,6 +201,24 @@ class TestFlagshipAOT:
     blowups = _word_loss_blowup(text, config)
     assert not blowups, [
         f"{d}{list(dims)} ({n / 1e6:.0f} MB)" for d, dims, n in blowups]
+
+
+@pytest.mark.slow
+def test_scale_fused_flop_reduction_is_pinned():
+  """Regression-pins the scale-fuse FLOP claim (BENCH_NOTES: -34% at
+  128px): cost analysis of the lowered flagship step, fused vs naive.
+  Lowering only — no compile — so this stays tracing-bound."""
+  def step_flops(fused):
+    config = _flagship_config("128")
+    config.scale_fused_convs = fused
+    return _lowered_step(config).cost_analysis()["flops"]
+
+  naive = step_flops(False)
+  fused = step_flops(True)
+  assert naive > 1e12  # sanity: the flagship step is tens of TFLOPs
+  assert fused <= 0.70 * naive, (
+      f"scale-fused step lost its FLOP advantage: {fused:.3e} vs "
+      f"naive {naive:.3e}")
 
 
 class TestIntrospect:
