@@ -41,8 +41,9 @@ def main():
                  help="static batch size; 0 = symbolic (any batch)")
   p.add_argument("--weights", choices=("ema", "normal", "both"),
                  default="ema")
-  p.add_argument("--platforms", default="",
-                 help="comma-separated lowering targets, e.g. tpu,cpu")
+  p.add_argument("--platforms", default="tpu,cpu",
+                 help="comma-separated lowering targets (default tpu,cpu: "
+                      "platform-polymorphic artifact)")
   p.add_argument("--out", default=None,
                  help="output dir (default: {workdir}/serving)")
   args = p.parse_args()

@@ -124,13 +124,15 @@ def export_generator(
 
 def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
                       step: Optional[int], batch_size: Optional[int],
-                      text_len: int = COCO_MAX_TEXT_LENGTH) -> str:
+                      text_len: int = COCO_MAX_TEXT_LENGTH,
+                      platforms: Optional[Tuple[str, ...]] = None) -> str:
   """JSON sidecar describing the artifact's interface for consumers."""
   b: Any = batch_size if batch_size is not None else "b"
   return json.dumps(
       {
           "weights": weights,
           "step": step,
+          "platforms": list(platforms) if platforms else "default",
           "image_size": config.image_size,
           "inputs": {
               "sentence_embedding": [b, BERT_DIM],
@@ -160,7 +162,7 @@ def export_from_workdir(
     step: Optional[int] = None,
     batch_size: Optional[int] = None,
     weights: str = "ema",
-    platforms: Optional[Tuple[str, ...]] = None,
+    platforms: Optional[Tuple[str, ...]] = ("tpu", "cpu"),
     out_dir: Optional[str] = None,
 ) -> list:
   """Restores a checkpoint and writes serving artifacts; returns paths.
@@ -168,6 +170,8 @@ def export_from_workdir(
   The shared implementation behind ``--mode=export`` and
   ``tools/export_serving.py``.  ``weights`` is ``"ema"``, ``"normal"`` or
   ``"both"``; ``batch_size=None`` exports a symbolic batch dimension.
+  Artifacts are platform-polymorphic (TPU + CPU) by default, so an export
+  produced on a CPU host deploys to TPU serving unchanged.
   """
   import os
 
@@ -215,6 +219,6 @@ def export_from_workdir(
       f.write(bytes(exported.serialize()))
     with open(base + ".json", "w") as f:
       f.write(artifact_metadata(config, weights=name, step=step,
-                                batch_size=batch_size))
+                                batch_size=batch_size, platforms=platforms))
     written.append(base + ".stablehlo")
   return written
