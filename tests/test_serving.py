@@ -165,6 +165,7 @@ def test_scale_fused_config_exports_same_images(tiny_setup):
                              rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_sharded_export_batch_parallel(tiny_setup):
   """A mesh export serves one batch across all 8 devices and matches the
   single-device artifact."""
