@@ -129,6 +129,15 @@ def test_bfloat16_flagship_dtype_export(tiny_setup):
   np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
                              atol=3e-2)
 
+  # bf16 configs embed pre-cast bf16 params: the artifact must be about
+  # half the f32-config artifact (same tiny architecture, f32 fixture).
+  f32_exported = serving.export_generator(
+      generator=tiny_setup[1], variables=tiny_setup[2], config=config,
+      batch_size=2)
+  bf16_bytes = len(bytes(exported.serialize()))
+  f32_bytes = len(bytes(f32_exported.serialize()))
+  assert bf16_bytes < 0.62 * f32_bytes, (bf16_bytes, f32_bytes)
+
 
 def test_weights_are_baked_in(tiny_setup):
   """Different weights must produce a different artifact output."""

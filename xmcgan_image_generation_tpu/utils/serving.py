@@ -49,8 +49,24 @@ def generator_serving_fn(
   inference collections); pass ``ema_params`` as ``params`` for the EMA
   artifact.  ``jax.jit`` treats the closed-over pytree as constants, so the
   exported module embeds the weights.
+
+  For bfloat16 configs the ``params`` collection is pre-cast to bf16:
+  every generator layer casts its params to the compute dtype at use
+  anyway (``.astype(self.dtype)``), so this halves the embedded-constant
+  (artifact) size at identical numerics.  (With ``g_spectral_norm=True``
+  — off in every shipped config — the f32 power iteration would see the
+  bf16-rounded kernel: bf16-ULP drift.)  Stats collections (BatchNorm
+  running averages, spectral-norm ``u0``) keep their float32 storage —
+  their compute paths are f32.
   """
   dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+  if dtype == jnp.bfloat16:
+    variables = dict(variables)
+    variables["params"] = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        variables["params"])
 
   def serve(sentence_embedding: Array, embedding: Array, max_len: Array,
             z: Array) -> Array:
