@@ -14,8 +14,9 @@ The exported function has the pure signature::
     (sentence_embedding [B, 768], embedding [B, L, 768],
      max_len [B, 1], z [B, z_dim]) -> float32 images [B, S, S, 3] in [0, 1]
 
-``B`` is either a static batch size or a symbolic dimension (``poly_batch``)
-so one artifact serves any batch size.  BatchNorm uses the checkpoint's
+``B`` is either a static batch size or a symbolic dimension
+(``batch_size=None``) so one artifact serves any batch size.  BatchNorm
+uses the checkpoint's
 running averages and spectral-norm layers their stored ``u0`` (train=False:
 no mutable state remains, which is what makes the function pure/exportable).
 """
