@@ -149,6 +149,91 @@ class TestMultiHostTraining:
         os.path.join(workdir, "checkpoints", "TRAIN_DONE"))
 
 
+PREEMPT_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+workdir = sys.argv[4]
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+import logging
+logging.basicConfig(level=logging.INFO)
+from xmcgan_image_generation_tpu import train as train_lib
+from xmcgan_image_generation_tpu.configs import coco_xmc
+config = coco_xmc.get_test_config()
+config.num_train_steps = 100000       # far beyond what we let it run
+config.batch_size = 8
+config.eval_batch_size = 8
+config.log_loss_every_steps = 2
+config.eval_every_steps = 100000
+config.checkpoint_every_steps = 100000
+train_lib.train(config, workdir)
+print(f"[proc {pid}] done", flush=True)
+"""
+
+
+@pytest.mark.slow
+class TestMultiHostPreemption:
+
+  def test_sigterm_on_one_process_stops_both_at_same_step(self, tmp_path):
+    """Preemption gold test: SIGTERM only process 1; the marker protocol
+    must bring BOTH processes to the same checkpointed stop step with a
+    clean exit and no TRAIN_DONE."""
+    import signal as _signal
+    import time as _time
+
+    workdir = str(tmp_path / "exp")
+    script = str(tmp_path / "preempt_worker.py")
+    with open(script, "w") as f:
+      f.write(PREEMPT_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS",)}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", port, workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for pid in range(2)
+    ]
+    try:
+      metrics = os.path.join(workdir, "metrics.jsonl")
+      deadline = _time.time() + 900
+      while _time.time() < deadline:
+        if (os.path.exists(metrics)
+            and len(open(metrics).read().strip()) > 0):
+          break
+        if any(p.poll() is not None for p in procs):
+          break
+        _time.sleep(1.0)
+      assert all(p.poll() is None for p in procs), "a worker died early"
+      procs[1].send_signal(_signal.SIGTERM)
+      outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    finally:
+      for p in procs:
+        if p.poll() is None:
+          p.kill()
+          p.communicate()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+      assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+      assert f"[proc {pid}] done" in out
+      assert "Preempted: stopped and checkpointed" in out
+
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert len(steps) == 1, f"expected exactly one preemption save: {steps}"
+    # Both processes committed their shard of the SAME step.
+    data_dir = os.path.join(ckpt_dir, str(steps[0]), "data_iter")
+    shards = os.listdir(data_dir)
+    assert "process_0-of-2.json" in shards
+    assert "process_1-of-2.json" in shards
+    assert not os.path.exists(os.path.join(ckpt_dir, "TRAIN_DONE"))
+    assert os.path.exists(os.path.join(workdir, "PREEMPT_STOP"))
+
+
 @pytest.mark.slow
 class TestSynchronizedSteps:
   """The eval service's coordinator/worker broadcast protocol, isolated
