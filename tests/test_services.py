@@ -187,6 +187,27 @@ class TestMetricWriter:
     rp(1)
     rp(2)  # Should log without error.
 
+  def test_report_progress_perf_scalars(self, tmp_path):
+    """FLOPs/images per step turn into perf/* scalars in the writer."""
+    import json as _json
+
+    from xmcgan_image_generation_tpu.utils.metric_writer import MetricWriter
+
+    writer = MetricWriter(str(tmp_path))
+    rp = ReportProgress(every_steps=1, writer=writer,
+                        flops_per_step=2e12, images_per_step=100,
+                        num_devices=2)
+    rp(1)   # primes the timer
+    rp(2)
+    writer.flush()
+    with open(tmp_path / "metrics.jsonl") as f:
+      rows = [_json.loads(l) for l in f]
+    row = rows[-1]
+    sps = row["steps_per_sec"]
+    assert row["perf/images_per_sec"] == pytest.approx(100 * sps)
+    assert row["perf/tflops_per_sec_per_device"] == pytest.approx(
+        sps * 2e12 / 2 / 1e12)
+
 
 class TestImageGrid:
 

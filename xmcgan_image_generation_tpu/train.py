@@ -107,8 +107,11 @@ def train(config: ml_collections.ConfigDict, workdir: str,
   log.info("num_train_steps=%d (examples=%d)", num_train_steps,
            num_train_examples)
 
-  # Initialize model/optimizers from the first sub-batch's shapes.
-  init_batch = split_batch(next(train_iter), config.d_step_per_g_step)[0]
+  # Initialize model/optimizers from the first sub-batch's shapes.  The
+  # consumed super-batch is kept as the abstract template for the
+  # cost-analysis lowering below.
+  template_batch = next(train_iter)
+  init_batch = split_batch(template_batch, config.d_step_per_g_step)[0]
   generator, discriminator, state = create_train_state(
       config, model_rng, init_batch)
 
@@ -138,9 +141,26 @@ def train(config: ml_collections.ConfigDict, workdir: str,
   writer = MetricWriter(workdir, just_logging=jax.process_index() > 0)
   if initial_step == 1:
     writer.write_hparams(dict(config))
+  # One extra trace buys production observability: XLA cost analysis of
+  # the lowered step gives model FLOPs/step, so progress reports carry
+  # perf/images_per_sec and perf/tflops_per_sec_per_device (MFU against
+  # the part's peak).
+  flops_per_step = None
+  if config.get("log_perf", True):
+    try:
+      flops_per_step = float(
+          step_fn.lower(jax.random.fold_in(train_rng, 0), state,
+                        template_batch).cost_analysis()["flops"])
+      log.info("train step: %.2f TFLOP (cost analysis)",
+               flops_per_step / 1e12)
+    except Exception as e:  # noqa: BLE001 - observability is best-effort
+      log.info("step cost analysis unavailable: %s", e)
   progress = ReportProgress(
       every_steps=min(100, config.log_loss_every_steps),
-      num_train_steps=num_train_steps, writer=writer)
+      num_train_steps=num_train_steps, writer=writer,
+      flops_per_step=flops_per_step,
+      images_per_step=config.batch_size * config.d_step_per_g_step,
+      num_devices=jax.device_count())
   hooks = [progress]
   if jax.process_index() == 0 and config.get("profile", False):
     # Host-0 xprof capture (the reference's periodic_actions.Profile,

@@ -162,14 +162,26 @@ class Profile:
 
 
 class ReportProgress:
-  """Periodic steps/sec reporting (clu.periodic_actions.ReportProgress)."""
+  """Periodic steps/sec reporting (clu.periodic_actions.ReportProgress).
+
+  When ``flops_per_step``/``images_per_step`` are provided (the train loop
+  takes them from XLA cost analysis of the lowered step), each report also
+  carries production-observability throughput: ``perf/images_per_sec`` and
+  ``perf/tflops_per_sec_per_device`` — achieved model FLOP rate per device
+  (divide by the part's peak for MFU)."""
 
   def __init__(self, every_steps: int = 100,
                num_train_steps: Optional[int] = None,
-               writer: Optional[MetricWriter] = None):
+               writer: Optional[MetricWriter] = None,
+               flops_per_step: Optional[float] = None,
+               images_per_step: Optional[int] = None,
+               num_devices: int = 1):
     self.every_steps = max(1, every_steps)
     self.num_train_steps = num_train_steps
     self.writer = writer
+    self.flops_per_step = flops_per_step
+    self.images_per_step = images_per_step
+    self.num_devices = max(1, num_devices)
     self._last_time = time.monotonic()
     self._last_step: Optional[int] = None
 
@@ -183,7 +195,17 @@ class ReportProgress:
     sps = (step - self._last_step) / max(now - self._last_time, 1e-9)
     frac = f", {step / self.num_train_steps:.1%}" if self.num_train_steps \
         else ""
-    log.info("progress: step %d (%.3f steps/sec%s)", step, sps, frac)
+    scalars = {"steps_per_sec": sps}
+    perf = ""
+    if self.images_per_step:
+      scalars["perf/images_per_sec"] = sps * self.images_per_step
+      perf += f", {scalars['perf/images_per_sec']:.1f} img/s"
+    if self.flops_per_step:
+      tfps = sps * self.flops_per_step / self.num_devices / 1e12
+      scalars["perf/tflops_per_sec_per_device"] = tfps
+      perf += f", {tfps:.1f} TFLOP/s/device"
+    log.info("progress: step %d (%.3f steps/sec%s%s)", step, sps, perf,
+             frac)
     if self.writer is not None:
-      self.writer.write_scalars(step, {"steps_per_sec": sps})
+      self.writer.write_scalars(step, scalars)
     self._last_step, self._last_time = step, now
