@@ -106,6 +106,7 @@ class TestDualCotangentVJP:
     for v in metrics.values():
       assert np.isfinite(float(v))
 
+  @pytest.mark.heavy
   def test_split_backward_equals_dual_cotangent(self):
     """The default split-backward scheme (minimal G-pass/D-pass grads)
     must reproduce the reference-style dual-cotangent update exactly."""
