@@ -174,6 +174,48 @@ def test_scale_fused_config_exports_same_images(tiny_setup):
                              rtol=2e-5, atol=2e-5)
 
 
+def test_int8_quantized_export(tiny_setup):
+  """Weight-only int8: much smaller artifact, bounded output deviation."""
+  config, generator, variables = tiny_setup
+  full = serving.export_generator(
+      generator, variables, config, batch_size=2)
+  quant = serving.export_generator(
+      generator, variables, config, batch_size=2, quantize="int8")
+  full_bytes = bytes(full.serialize())
+  quant_bytes = bytes(quant.serialize())
+  # f32 kernels -> int8 + per-channel scales: ~4x on the kernel payload.
+  assert len(quant_bytes) < 0.35 * len(full_bytes), (
+      len(quant_bytes), len(full_bytes))
+
+  inputs = _inputs(config, 2)
+  ref = full.call(*inputs)
+  got = serving.load_exported(quant_bytes).call(*inputs)
+  assert got.shape == ref.shape
+  # Lossy but close: per-channel int8 holds ~0.4% weight error; outputs
+  # in [0,1] should deviate by a few percent at most.
+  err = float(jnp.mean(jnp.abs(got - ref)))
+  assert err < 0.05, f"mean abs deviation {err}"
+  assert float(jnp.max(got)) <= 1.0 and float(jnp.min(got)) >= 0.0
+
+
+def test_quantize_params_int8_roundtrip_error():
+  """Quantization math: per-channel scales bound the roundtrip error."""
+  rng = jax.random.PRNGKey(3)
+  w = jax.random.normal(rng, (3, 3, 16, 32)) * jnp.linspace(
+      0.01, 2.0, 32)  # widely varying per-channel magnitudes
+  leaves, treedef = serving.quantize_params_int8({"k": w})
+  (q, scale), = leaves
+  assert q.dtype == jnp.int8 and scale.shape == (1, 1, 1, 32)
+  back = jax.tree_util.tree_unflatten(
+      treedef, [(q.astype(jnp.float32) * scale)])["k"]
+  # Symmetric int8: |err| <= scale/2 per element (0.4% of channel amax).
+  per_channel_bound = jnp.abs(w - back) <= scale / 2 + 1e-8
+  assert bool(jnp.all(per_channel_bound))
+  # Biases/vectors pass through untouched.
+  leaves, _ = serving.quantize_params_int8({"b": jnp.ones((7,))})
+  assert leaves[0][1] is None
+
+
 @pytest.mark.heavy
 def test_sharded_export_batch_parallel(tiny_setup):
   """A mesh export serves one batch across all 8 devices and matches the

@@ -46,6 +46,9 @@ def main():
                       "platform-polymorphic artifact)")
   p.add_argument("--out", default=None,
                  help="output dir (default: {workdir}/serving)")
+  p.add_argument("--quantize", choices=("int8",), default=None,
+                 help="weight-only quantization (lossy; ~4x smaller "
+                      "artifact than f32)")
   args = p.parse_args()
 
   from xmcgan_image_generation_tpu.utils import serving
@@ -54,7 +57,7 @@ def main():
   written = serving.export_from_workdir(
       load_config(args.config_module), args.workdir, step=args.step,
       batch_size=args.batch_size or None, weights=args.weights,
-      platforms=platforms, out_dir=args.out)
+      platforms=platforms, out_dir=args.out, quantize=args.quantize)
   for path in written:
     print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB) + .json")
 

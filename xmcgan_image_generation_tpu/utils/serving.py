@@ -39,10 +39,50 @@ BERT_DIM = 768
 COCO_MAX_TEXT_LENGTH = 17
 
 
+def quantize_params_int8(params):
+  """Weight-only per-channel symmetric int8 quantization of a param tree.
+
+  Every floating tensor with ndim >= 2 (dense/conv kernels, CBN projection
+  kernels) is stored as ``int8`` values plus one float32 scale per
+  trailing-axis channel (the output-channel axis in both Flax Dense
+  ``[in, out]`` and Conv ``[h, w, ci, co]`` layouts).  Vectors/scalars
+  (biases, BN scale/bias) pass through unquantized — they are a rounding
+  error of the total size.  Returns ``(leaves, treedef)`` where each leaf
+  is ``(int8_values, f32_scales)`` or ``(original, None)``.
+  """
+  flat, treedef = jax.tree_util.tree_flatten(params)
+  leaves = []
+  for x in flat:
+    if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        and x.ndim >= 2):
+      xf = jnp.asarray(x, jnp.float32)
+      amax = jnp.max(jnp.abs(xf), axis=tuple(range(x.ndim - 1)),
+                     keepdims=True)
+      scale = jnp.maximum(amax, 1e-12) / 127.0
+      q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+      leaves.append((q, scale))
+    else:
+      leaves.append((x, None))
+  return leaves, treedef
+
+
+def _dequantize_params(quantized, dtype):
+  leaves, treedef = quantized
+  out = []
+  for q, scale in leaves:
+    if scale is None:
+      out.append(q)
+    else:
+      out.append((q.astype(jnp.float32) * scale).astype(dtype))
+  return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def generator_serving_fn(
     generator: functools.partial,
     variables: Dict[str, Any],
     config: ml_collections.ConfigDict,
+    *,
+    quantize: Optional[str] = None,
 ):
   """Returns the pure inference function with weights closed over.
 
@@ -59,10 +99,19 @@ def generator_serving_fn(
   bf16-rounded kernel: bf16-ULP drift.)  Stats collections (BatchNorm
   running averages, spectral-norm ``u0``) keep their float32 storage —
   their compute paths are f32.
+
+  ``quantize="int8"`` (opt-in, lossy) embeds weight-only per-channel int8
+  kernels instead — ~4x smaller artifacts than f32, ~2x than bf16;
+  dequantization to the compute dtype happens in-graph at call time.
   """
   dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-  if dtype == jnp.bfloat16:
-    variables = dict(variables)
+  variables = dict(variables)
+  quantized = None
+  if quantize == "int8":
+    quantized = quantize_params_int8(variables.pop("params"))
+  elif quantize is not None:
+    raise ValueError(f"unknown quantize mode {quantize!r}")
+  elif dtype == jnp.bfloat16:
     variables["params"] = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
@@ -71,13 +120,18 @@ def generator_serving_fn(
 
   def serve(sentence_embedding: Array, embedding: Array, max_len: Array,
             z: Array) -> Array:
+    if quantized is not None:
+      run_vars = dict(variables,
+                      params=_dequantize_params(quantized, dtype))
+    else:
+      run_vars = variables
     cond = {
         "sentence_embedding": sentence_embedding.astype(dtype),
         "embedding": embedding.astype(dtype),
         "max_len": max_len.astype(dtype),
     }
     images = generator(train=False).apply(
-        variables, (cond, z.astype(dtype)), mutable=False)
+        run_vars, (cond, z.astype(dtype)), mutable=False)
     return images.astype(jnp.float32)
 
   return serve
@@ -93,6 +147,7 @@ def export_generator(
     platforms: Optional[Tuple[str, ...]] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     mesh_axis: str = "data",
+    quantize: Optional[str] = None,
 ) -> jax_export.Exported:
   """AOT-exports the generator; ``batch_size=None`` -> symbolic batch dim.
 
@@ -107,7 +162,8 @@ def export_generator(
   with the same device count.  Requires a static ``batch_size`` divisible
   by the axis size.
   """
-  serve = generator_serving_fn(generator, variables, config)
+  serve = generator_serving_fn(generator, variables, config,
+                               quantize=quantize)
   if batch_size is None:
     if mesh is not None:
       raise ValueError("sharded export requires a static batch_size")
@@ -142,7 +198,8 @@ def export_generator(
 def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
                       step: Optional[int], batch_size: Optional[int],
                       text_len: int = COCO_MAX_TEXT_LENGTH,
-                      platforms: Optional[Tuple[str, ...]] = None) -> str:
+                      platforms: Optional[Tuple[str, ...]] = None,
+                      quantize: Optional[str] = None) -> str:
   """JSON sidecar describing the artifact's interface for consumers."""
   b: Any = batch_size if batch_size is not None else "b"
   return json.dumps(
@@ -150,6 +207,7 @@ def artifact_metadata(config: ml_collections.ConfigDict, *, weights: str,
           "weights": weights,
           "step": step,
           "platforms": list(platforms) if platforms else "default",
+          "quantization": quantize or "none",
           "image_size": config.image_size,
           "inputs": {
               "sentence_embedding": [b, BERT_DIM],
@@ -181,6 +239,7 @@ def export_from_workdir(
     weights: str = "ema",
     platforms: Optional[Tuple[str, ...]] = ("tpu", "cpu"),
     out_dir: Optional[str] = None,
+    quantize: Optional[str] = None,
 ) -> list:
   """Restores a checkpoint and writes serving artifacts; returns paths.
 
@@ -230,12 +289,15 @@ def export_from_workdir(
     variables = {"params": params, **state.generator_state}
     exported = export_generator(
         generator, variables, config, batch_size=batch_size,
-        platforms=platforms)
-    base = os.path.join(out_dir, f"generator_{name}_step{step:08d}")
+        platforms=platforms, quantize=quantize)
+    suffix = f"_{quantize}" if quantize else ""
+    base = os.path.join(out_dir,
+                        f"generator_{name}{suffix}_step{step:08d}")
     with open(base + ".stablehlo", "wb") as f:
       f.write(bytes(exported.serialize()))
     with open(base + ".json", "w") as f:
       f.write(artifact_metadata(config, weights=name, step=step,
-                                batch_size=batch_size, platforms=platforms))
+                                batch_size=batch_size, platforms=platforms,
+                                quantize=quantize))
     written.append(base + ".stablehlo")
   return written
