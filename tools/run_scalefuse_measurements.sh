@@ -41,4 +41,11 @@ echo "== 6. phase attribution of the fused step =="
 python tools/profile_step.py --scale_fused_convs 1 --use_pallas \
   --json_out "$OUT/profile_fused.json" 2>&1 | tee "$OUT/profile_fused.log"
 
+echo "== 7. the round-record bench (A/B both pipelines + cached baseline) =="
+python bench.py 2>&1 | tee "$OUT/bench_record.log"
+
+echo "== 8. serving throughput (exported artifact vs in-framework jit) =="
+python tools/serving_bench.py --batch_size 64 --steps 20 \
+  2>&1 | tee "$OUT/serving_bench.log" || true
+
 echo "all outputs in $OUT"
