@@ -119,10 +119,17 @@ class PreemptionGuard:
     target = step + self._margin
     try:
       fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+      with os.fdopen(fd, "w") as f:
+        f.write(str(target))
     except FileExistsError:
       return  # First writer won; everyone reads that target.
-    with os.fdopen(fd, "w") as f:
-      f.write(str(target))
+    except OSError as e:
+      # A transient fs error must not crash the trainer; the signal flag
+      # re-arms so the next step retries the write.
+      log.warning("Preemption marker write failed (%s); retrying next "
+                  "step", e)
+      self._signaled.set()
+      return
     log.info("Preemption signal at step %d: stop agreed at step %d",
              step, target)
 
