@@ -311,17 +311,17 @@ def main():
   log(f"devices: {jax.devices()}")
 
   if args.test_config:
-    from xmcgan_image_generation_tpu.configs.coco_xmc import get_test_config
-    config = get_test_config()
-    args.image_size = config.image_size
+    from xmcgan_image_generation_tpu.configs.coco_xmc import (
+        get_test_config as get_config)
   elif args.image_size == 256:
     # The paper 256px configuration (selective remat etc.).
     from xmcgan_image_generation_tpu.configs.coco_xmc_256 import get_config
-    config = get_config()
-    config.image_size = args.image_size
   else:
     from xmcgan_image_generation_tpu.configs.coco_xmc import get_config
-    config = get_config()
+  config = get_config()
+  if args.test_config:
+    args.image_size = config.image_size
+  else:
     config.image_size = args.image_size
   config.data_source = "synthetic"
   if args.use_pallas:

@@ -66,6 +66,46 @@ class TestGuardProtocol:
     assert (tmp_path / MARKER).exists()
     assert not guard.should_stop(9)    # stale target < initial_step
 
+  def test_signal_not_swallowed_by_stale_marker(self, tmp_path):
+    """A stale marker that survived install() (e.g. a failed cleanup)
+    must not eat a real SIGTERM: the write replaces it."""
+    with open(tmp_path / MARKER, "w") as f:
+      f.write("3")                     # stale: previous run stopped at 3
+    guard = PreemptionGuard(str(tmp_path), initial_step=8, margin=2,
+                            process_index=1)
+    guard.request_stop()
+    assert not guard.should_stop(10)   # replaces stale with target 12
+    assert guard.should_stop(12)
+
+  def test_cleanup_removes_live_leftover_after_normal_finish(self,
+                                                             tmp_path):
+    """SIGTERM within margin of the final step leaves a live target;
+    cleanup() (normal completion, process 0) must remove it so the next
+    extending run doesn't phantom-stop."""
+    guard = PreemptionGuard(str(tmp_path), initial_step=1, margin=2)
+    guard.request_stop()
+    assert not guard.should_stop(10)   # target 12, but run ends at 10
+    guard.cleanup()
+    assert not (tmp_path / MARKER).exists()
+    nxt = PreemptionGuard(str(tmp_path), initial_step=11)
+    assert not nxt.should_stop(12)
+
+  def test_cleanup_is_process0_only(self, tmp_path):
+    guard = PreemptionGuard(str(tmp_path), initial_step=1, margin=2,
+                            process_index=1)
+    guard.request_stop()
+    guard.should_stop(5)               # writes target 7
+    guard.cleanup()                    # non-zero process: no-op
+    assert (tmp_path / MARKER).exists()
+
+  def test_marker_write_is_atomic(self, tmp_path):
+    """No .tmp leftovers and the published file is complete."""
+    guard = PreemptionGuard(str(tmp_path), initial_step=1, margin=2)
+    guard.request_stop()
+    guard.should_stop(5)
+    assert [p.name for p in tmp_path.iterdir()] == [MARKER]
+    assert int((tmp_path / MARKER).read_text()) == 7
+
 
 def _wait_for(predicate, timeout, interval=0.5):
   deadline = time.time() + timeout

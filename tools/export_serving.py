@@ -16,18 +16,10 @@ Usage (defaults: EMA weights, symbolic batch dimension):
 """
 
 import argparse
-import importlib
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def load_config(spec: str):
-  module, _, variant = spec.partition(":")
-  mod = importlib.import_module(
-      f"xmcgan_image_generation_tpu.configs.{module}")
-  return mod.get_config(variant) if variant else mod.get_config()
 
 
 def main():
@@ -55,9 +47,10 @@ def main():
 
   platforms = tuple(s for s in args.platforms.split(",") if s) or None
   written = serving.export_from_workdir(
-      load_config(args.config_module), args.workdir, step=args.step,
-      batch_size=args.batch_size or None, weights=args.weights,
-      platforms=platforms, out_dir=args.out, quantize=args.quantize)
+      serving.load_config_module(args.config_module), args.workdir,
+      step=args.step, batch_size=args.batch_size or None,
+      weights=args.weights, platforms=platforms, out_dir=args.out,
+      quantize=args.quantize)
   for path in written:
     print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB) + .json")
 

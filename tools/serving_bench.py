@@ -16,7 +16,6 @@ Usage (random-init weights unless --workdir has a checkpoint):
 """
 
 import argparse
-import importlib
 import json
 import os
 import sys
@@ -34,13 +33,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def log(*a):
   print(*a, file=sys.stderr, flush=True)
-
-
-def load_config(spec: str):
-  module, _, variant = spec.partition(":")
-  mod = importlib.import_module(
-      f"xmcgan_image_generation_tpu.configs.{module}")
-  return mod.get_config(variant) if variant else mod.get_config()
 
 
 def time_calls(fn, inputs, steps):
@@ -66,19 +58,11 @@ def main():
   from xmcgan_image_generation_tpu.engine import create_train_state
   from xmcgan_image_generation_tpu.utils import serving
 
-  config = load_config(args.config_module)
+  config = serving.load_config_module(args.config_module)
   b = args.batch_size
-  s = config.image_size
-  init_batch = {
-      "image": jnp.zeros((2, s, s, 3), jnp.float32),
-      "sentence_embedding": jnp.zeros((2, serving.BERT_DIM), jnp.float32),
-      "embedding": jnp.zeros((2, serving.COCO_MAX_TEXT_LENGTH,
-                              serving.BERT_DIM), jnp.float32),
-      "max_len": jnp.full((2, 1), 17.0, jnp.float32),
-      "z": jnp.zeros((2, config.z_dim), jnp.float32),
-  }
   generator, _, state = create_train_state(
-      config, jax.random.PRNGKey(config.seed), init_batch)
+      config, jax.random.PRNGKey(config.seed),
+      serving.make_init_batch(config))
   if args.workdir:
     from xmcgan_image_generation_tpu.parallel import MeshRules
     from xmcgan_image_generation_tpu.utils.checkpoint import (

@@ -70,9 +70,12 @@ def main(argv):
     from xmcgan_image_generation_tpu import generate as gen_lib
     gen_lib.generate(config, workdir)
   elif _MODE.value == "export":
-    from xmcgan_image_generation_tpu.utils import serving
-    for path in serving.export_from_workdir(config, workdir):
-      logging.info("Wrote serving artifact %s", path)
+    # Process 0 only: concurrent writers on a shared filesystem would
+    # tear the artifact files (same guard as --mode=generate).
+    if jax.process_index() == 0:
+      from xmcgan_image_generation_tpu.utils import serving
+      for path in serving.export_from_workdir(config, workdir):
+        logging.info("Wrote serving artifact %s", path)
   else:
     raise app.UsageError(f"Unknown --mode {_MODE.value!r}")
 

@@ -155,6 +155,7 @@ def train(config: ml_collections.ConfigDict, workdir: str,
                flops_per_step / 1e12)
     except Exception as e:  # noqa: BLE001 - observability is best-effort
       log.info("step cost analysis unavailable: %s", e)
+  del template_batch, init_batch  # free the device-resident templates
   progress = ReportProgress(
       every_steps=min(100, config.log_loss_every_steps),
       num_train_steps=num_train_steps, writer=writer,
@@ -170,56 +171,67 @@ def train(config: ml_collections.ConfigDict, workdir: str,
 
   # Preemption (SIGTERM) checkpoints at an agreed step and exits cleanly
   # WITHOUT TRAIN_DONE, so a restarted job resumes where it stopped.
+  # margin must exceed the worst cross-process marker-visibility skew in
+  # steps (SPMD lockstep bounds execution skew to 1; raise it on shared
+  # filesystems with coarse attribute caching, e.g. NFS/gcsfuse).
   guard = PreemptionGuard(workdir, initial_step,
+                          margin=config.get("preemption_margin", 2),
                           process_index=jax.process_index())
   guard.install()
   preempted_at = None
 
   log.info("Starting training loop at step %d.", initial_step)
-  for step in range(initial_step, num_train_steps + 1):
-    is_last = step == num_train_steps
-    with jax.profiler.StepTraceAnnotation("train", step_num=step):
-      batch = next(train_iter)
-      step_rng = jax.random.fold_in(train_rng, step)
-      state, metrics = step_fn(step_rng, state, batch)
-      acc.update(metrics)
-    for hook in hooks:
-      hook(step)
+  try:
+    for step in range(initial_step, num_train_steps + 1):
+      is_last = step == num_train_steps
+      with jax.profiler.StepTraceAnnotation("train", step_num=step):
+        batch = next(train_iter)
+        step_rng = jax.random.fold_in(train_rng, step)
+        state, metrics = step_fn(step_rng, state, batch)
+        acc.update(metrics)
+      for hook in hooks:
+        hook(step)
 
-    if step % config.log_loss_every_steps == 0 or is_last:
-      writer.write_scalars(step, acc.compute_and_reset())
+      if step % config.log_loss_every_steps == 0 or is_last:
+        writer.write_scalars(step, acc.compute_and_reset())
 
-    if step % config.eval_every_steps == 0 or is_last:
-      vis_batch = split_batch(batch, config.d_step_per_g_step)[0]
-      sample = sample_fn(
-          jax.random.fold_in(sample_rng, step), state, vis_batch)
-      sample = to_host(sample)
-      writer.write_images(
-          step, {
-              "generated_image": sample["generated_image"],
-              "ema_generated_image": sample["ema_generated_image"],
-              "original_image": sample["image"],
-          }, max_images=config.show_num)
+      if step % config.eval_every_steps == 0 or is_last:
+        vis_batch = split_batch(batch, config.d_step_per_g_step)[0]
+        sample = sample_fn(
+            jax.random.fold_in(sample_rng, step), state, vis_batch)
+        sample = to_host(sample)
+        writer.write_images(
+            step, {
+                "generated_image": sample["generated_image"],
+                "ema_generated_image": sample["ema_generated_image"],
+                "original_image": sample["image"],
+            }, max_images=config.show_num)
 
-    preempt_now = guard.should_stop(step)
-    if (step % config.checkpoint_every_steps == 0 or is_last
-        or preempt_now):
-      t0 = time.monotonic()
-      ckpt.save(step, jax.device_get(state), train_iter)
-      log.info("checkpoint @%d saved in %.2fs", step,
-               time.monotonic() - t0)
-    if preempt_now:
-      preempted_at = step
-      break
+      preempt_now = guard.should_stop(step)
+      if (step % config.checkpoint_every_steps == 0 or is_last
+          or preempt_now):
+        t0 = time.monotonic()
+        ckpt.save(step, jax.device_get(state), train_iter)
+        log.info("checkpoint @%d saved in %.2fs", step,
+                 time.monotonic() - t0)
+      if preempt_now:
+        preempted_at = step
+        break
 
-  guard.uninstall()
-  ckpt.wait_until_finished()
-  ckpt.close()
+    # Keep absorbing further SIGTERMs (orchestrators often re-signal
+    # within the grace window) until the async Orbax save has COMMITTED;
+    # restoring the default disposition earlier would let a second
+    # signal kill the finalize and discard the preemption checkpoint.
+    ckpt.wait_until_finished()
+    ckpt.close()
+  finally:
+    guard.uninstall()
   writer.flush()
   if preempted_at is not None:
     log.info("Preempted: stopped and checkpointed at step %d (of %d); "
              "restart to resume.", preempted_at, num_train_steps)
     return
+  guard.cleanup()  # a signal within margin of the end leaves a live marker
   if jax.process_index() == 0:
     task_manager.mark_training_done()
   log.info("Finished training at step %d.", num_train_steps)

@@ -115,14 +115,39 @@ class PreemptionGuard:
     except (OSError, ValueError):
       return None
 
-  def _write_target(self, step: int) -> None:
+  def _write_target(self, step: int, _retry: bool = True) -> None:
     target = step + self._margin
     try:
-      fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+      # Atomic publish: temp file + rename, so a concurrent reader never
+      # sees a half-written target.  O_EXCL on the temp prevents two
+      # local processes colliding on it; the final link() is the race
+      # arbiter — first publisher wins.
+      tmp = f"{self._path}.tmp.{os.getpid()}"
+      try:
+        os.remove(tmp)  # leftover from a crashed attempt of this pid
+      except OSError:
+        pass
+      fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
       with os.fdopen(fd, "w") as f:
         f.write(str(target))
+      try:
+        os.link(tmp, self._path)
+      finally:
+        os.remove(tmp)
     except FileExistsError:
-      return  # First writer won; everyone reads that target.
+      # A marker already exists.  If it is a LIVE target a peer won the
+      # race — done.  If it is a STALE leftover (install()'s cleanup
+      # failed or raced), it would swallow this signal forever: remove
+      # it and retry once.
+      existing = self._read_target()
+      if (_retry and existing is not None
+          and existing < self._initial_step):
+        try:
+          os.remove(self._path)
+        except OSError:
+          pass
+        self._write_target(step, _retry=False)
+      return
     except OSError as e:
       # A transient fs error must not crash the trainer; the signal flag
       # re-arms so the next step retries the write.
@@ -132,6 +157,20 @@ class PreemptionGuard:
       return
     log.info("Preemption signal at step %d: stop agreed at step %d",
              step, target)
+
+  def cleanup(self) -> None:
+    """Removes any marker after a NORMAL completion (process 0 only).
+
+    A signal that landed within ``margin`` of the final step leaves a
+    live target behind; without cleanup the next (extending) run would
+    phantom-stop on it."""
+    if self._process_index != 0:
+      return
+    try:
+      os.remove(self._path)
+      log.info("Removed %s after normal completion", MARKER)
+    except OSError:
+      pass
 
   def should_stop(self, step: int) -> bool:
     """True when this step is the agreed preemption-save point."""

@@ -24,6 +24,7 @@ no mutable state remains, which is what makes the function pure/exportable).
 from __future__ import annotations
 
 import functools
+import importlib
 import json
 from typing import Any, Dict, Optional, Tuple
 
@@ -37,6 +38,29 @@ Array = jnp.ndarray
 #: Text conditioning constants (reference libml/dataset_constants.py:15-20).
 BERT_DIM = 768
 COCO_MAX_TEXT_LENGTH = 17
+
+
+def load_config_module(spec: str) -> ml_collections.ConfigDict:
+  """``configs/<module>[:variant]`` -> config (tools' --config_module)."""
+  module, _, variant = spec.partition(":")
+  mod = importlib.import_module(
+      f"xmcgan_image_generation_tpu.configs.{module}")
+  return mod.get_config(variant) if variant else mod.get_config()
+
+
+def make_init_batch(config: ml_collections.ConfigDict,
+                    batch: int = 2) -> Dict[str, Array]:
+  """A template batch for model init — shapes only, no data needed."""
+  s = config.image_size
+  return {
+      "image": jnp.zeros((batch, s, s, 3), jnp.float32),
+      "sentence_embedding": jnp.zeros((batch, BERT_DIM), jnp.float32),
+      "embedding": jnp.zeros((batch, COCO_MAX_TEXT_LENGTH, BERT_DIM),
+                             jnp.float32),
+      "max_len": jnp.full((batch, 1), float(COCO_MAX_TEXT_LENGTH),
+                          jnp.float32),
+      "z": jnp.zeros((batch, config.z_dim), jnp.float32),
+  }
 
 
 def quantize_params_int8(params):
@@ -260,17 +284,8 @@ def export_from_workdir(
     raise ValueError(f"weights must be ema|normal|both, got {weights!r}")
   rules = MeshRules.create(config.get("mesh_data", -1),
                            config.get("mesh_model", 1))
-  s = config.image_size
-  init_batch = {
-      "image": jnp.zeros((2, s, s, 3), jnp.float32),
-      "sentence_embedding": jnp.zeros((2, BERT_DIM), jnp.float32),
-      "embedding": jnp.zeros((2, COCO_MAX_TEXT_LENGTH, BERT_DIM),
-                             jnp.float32),
-      "max_len": jnp.full((2, 1), float(COCO_MAX_TEXT_LENGTH), jnp.float32),
-      "z": jnp.zeros((2, config.z_dim), jnp.float32),
-  }
   generator, _, template = create_train_state(
-      config, jax.random.PRNGKey(config.seed), init_batch)
+      config, jax.random.PRNGKey(config.seed), make_init_batch(config))
 
   ckpt = CheckpointManager(checkpoints_dir(workdir), with_data_iter=False)
   step = step if step is not None else ckpt.latest_step()
