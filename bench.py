@@ -59,11 +59,11 @@ def build(config, batch_size):
 def time_steps(run_one, state, n_steps):
   # Warmup (compile + first execute).
   state = run_one(state, 0)
-  jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+  jax.block_until_ready(state)
   t0 = time.perf_counter()
   for i in range(1, n_steps + 1):
     state = run_one(state, i)
-  jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+  jax.block_until_ready(state)
   return (time.perf_counter() - t0) / n_steps
 
 
@@ -380,30 +380,63 @@ def main():
   # at the same batch and report whichever wins.  The two are numerically
   # equivalent (tests/test_scale_fuse.py); this is a pure implementation
   # choice, so the headline is the framework's best configuration.
+  #
+  # The alternate pipeline is measured in a FRESH subprocess.  Isolation
+  # is load-bearing, not hygiene: a second large program timed in the same
+  # process over the remote-attached chip has reported impossible step
+  # times (45x faster than its FLOPs allow — block_until_ready returning
+  # before the queued executions drain), while the identical measurement
+  # in its own process is correct.  A plausibility guard backstops this:
+  # the two pipelines differ by at most 2.25x in conv FLOPs, so a >4x
+  # throughput gap is a broken measurement, never a real result, and the
+  # primary (first-program-in-process, always-correct) number keeps the
+  # headline.
   if args.scale_fused_convs is None:
-    import copy as _copy
+    import os as _os
+    import subprocess
 
-    alt_config = _copy.deepcopy(config)
-    alt_config.scale_fused_convs = not config.scale_fused_convs
+    alt_fused = not config.scale_fused_convs
+    cmd = [sys.executable, _os.path.abspath(__file__),
+           "--skip_baseline", f"--scale_fused_convs={int(alt_fused)}",
+           f"--batch_size={batch_size}", f"--steps={n_steps}"]
+    if args.test_config:
+      cmd.append("--test_config")
+    else:
+      cmd.append(f"--image_size={args.image_size}")
+    if args.use_pallas:
+      cmd.append("--use_pallas")
+    if args.remat_min_resolution is not None:
+      cmd.append(f"--remat_min_resolution={args.remat_min_resolution}")
+    if args.conv_backward is not None:
+      cmd.append(f"--conv_backward={args.conv_backward}")
+    for opt in args.compiler_option:
+      cmd += ["--compiler_option", opt]
+    alt_tp = None
     try:
-      alt = measure_variant(alt_config, [batch_size])
+      proc = subprocess.run(cmd, capture_output=True, text=True,
+                            timeout=1800)
+      log(proc.stderr.strip())
+      if proc.returncode == 0:
+        alt_tp = json.loads(proc.stdout.strip().splitlines()[-1])["value"]
+      else:
+        log(f"conv-pipeline A/B subprocess failed (rc={proc.returncode})")
     except Exception as e:  # noqa: BLE001 - A/B is best-effort
       log(f"conv-pipeline A/B variant failed ({type(e).__name__}: {e})")
-      alt = None
-    if alt is not None:
-      _, alt_state, alt_batch, _, alt_sec = alt
-      alt_tp = images_per_step / alt_sec / n_chips
+    if alt_tp is not None:
       names = {True: "fused", False: "naive"}
-      log(f"gspmd ({names[alt_config.scale_fused_convs]} convs): "
-          f"{alt_sec*1e3:.1f} ms/step, batch {batch_size}, "
-          f"{alt_tp:.2f} images/sec/chip")
       extra["conv_pipeline"] = {
           names[config.scale_fused_convs]: round(throughput, 3),
-          names[alt_config.scale_fused_convs]: round(alt_tp, 3),
+          names[alt_fused]: round(alt_tp, 3),
       }
-      if alt_tp > throughput:
-        config, throughput, sec_per_step = alt_config, alt_tp, alt_sec
-        step, state_copy, super_batch = alt[0], alt_state, alt_batch
+      ratio = max(alt_tp, throughput) / max(1e-9, min(alt_tp, throughput))
+      if ratio > 4.0:
+        log(f"conv-pipeline A/B implausible ({ratio:.1f}x apart; the "
+            "pipelines differ by at most 2.25x in FLOPs) — keeping the "
+            "primary measurement")
+        extra["conv_pipeline"]["suspect"] = True
+      elif alt_tp > throughput:
+        config.scale_fused_convs = alt_fused
+        throughput, sec_per_step = alt_tp, images_per_step / alt_tp / n_chips
       extra["conv_pipeline"]["selected"] = names[config.scale_fused_convs]
   if not args.skip_baseline:
     ref_throughput = _baseline_throughput(

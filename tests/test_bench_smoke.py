@@ -51,6 +51,11 @@ def test_bench_conv_pipeline_ab(tmp_path):
   assert proc.returncode == 0, proc.stderr[-4000:]
   out = json.loads(proc.stdout.strip().splitlines()[-1])
   ab = out["conv_pipeline"]
-  assert set(ab) == {"naive", "fused", "selected"}
+  assert set(ab) - {"suspect"} == {"naive", "fused", "selected"}
   assert ab["selected"] in ("naive", "fused")
-  assert out["value"] == pytest.approx(max(ab["naive"], ab["fused"]))
+  if "suspect" in ab:
+    # Implausible A/B gap (>4x between FLOP-equivalent pipelines): the
+    # primary in-process measurement keeps the headline.
+    assert out["value"] == pytest.approx(ab[ab["selected"]])
+  else:
+    assert out["value"] == pytest.approx(max(ab["naive"], ab["fused"]))

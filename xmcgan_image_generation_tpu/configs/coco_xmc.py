@@ -125,8 +125,11 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # (ops/scale_fuse.py): exact factorizations with 2.25x fewer conv FLOPs
   # and no full-resolution intermediate.  Param tree and checkpoints are
   # unchanged; outputs differ from the unfused pipeline only by float
-  # re-association of 2-3 kernel-weight additions.
-  config.scale_fused_convs = False
+  # re-association of 2-3 kernel-weight additions.  Measured on a v5e
+  # (BENCH_NOTES.md): every per-shape microbench wins 1.3-3x and the full
+  # 128px batch-56 step drops 258.4 -> 199.4 ms (433.5 -> 561.7
+  # images/sec/chip), so the fused pipeline is the default.
+  config.scale_fused_convs = True
   # Conv gradient algorithm for the 3x3/stride-1 G/D convs: "xla" keeps
   # XLA's native conv-gradient emitters; "auto" applies the per-shape
   # winner measured on a v5e by tools/convgrad_bench.py (MXU-matmul
