@@ -268,6 +268,11 @@ def main():
   parser.add_argument("--remat_min_resolution", type=int, default=None,
                       help="force remat on, rematerializing only blocks "
                            "at/above this feature-map side (0 = all)")
+  parser.add_argument("--remat_policy", default=None,
+                      help="remat policy: full (save nothing) or conv "
+                           "(save conv/matmul outputs, recompute only "
+                           "elementwise glue — an HBM-bandwidth lever); "
+                           "forces remat on")
   parser.add_argument("--compiler_option", action="append", default=[],
                       help="TPU compiler flag as name=value, passed via "
                            "compiled-program options (XLA_FLAGS can't reach "
@@ -329,6 +334,9 @@ def main():
   if args.remat_min_resolution is not None:
     config.remat = True
     config.remat_min_resolution = args.remat_min_resolution
+  if args.remat_policy is not None:
+    config.remat = True
+    config.remat_policy = args.remat_policy
   if args.conv_backward is not None:
     config.conv_backward = args.conv_backward
   if args.scale_fused_convs is not None:

@@ -148,6 +148,47 @@ class TestSelectiveRemat:
       out = gen_r(train=False).apply(g_vars, (batch, z), mutable=False)
       np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
 
+  def test_conv_policy_remat_matches_plain_forward_and_grads(self):
+    """remat_policy="conv" (save conv/matmul outputs, recompute elementwise
+    glue) must change neither the forward values nor the parameter
+    gradients — it only redistributes what the backward reads vs recomputes."""
+    config = coco_xmc.get_test_config()
+    batch, z, gen_fn, _, g_vars, _ = init_g_d(config)
+
+    cfg = coco_xmc.get_test_config()
+    cfg.remat = True
+    cfg.remat_policy = "conv"
+    gen_r, _ = get_architecture(cfg, jnp.float32)
+
+    def loss(module, params):
+      def f(p):
+        out = module(train=False).apply({**g_vars, "params": p}, (batch, z),
+                                        mutable=False)
+        return jnp.sum(out ** 2)
+      return jax.value_and_grad(f)(params)
+
+    base_val, base_grad = jax.jit(lambda p: loss(gen_fn, p))(g_vars["params"])
+    r_val, r_grad = jax.jit(lambda p: loss(gen_r, p))(g_vars["params"])
+    np.testing.assert_allclose(np.asarray(r_val), np.asarray(base_val),
+                               rtol=1e-6)
+    # The recomputed elementwise chains re-associate reductions, so grads
+    # carry float accumulation noise scaled by the leaf's magnitude (the
+    # near-zero elements of a hundreds-magnitude grad see large *relative*
+    # error while every absolute error stays ~1e-4).
+    def close(a, b):
+      a, b = np.asarray(a), np.asarray(b)
+      tol = 1e-4 * (1.0 + np.max(np.abs(a)))
+      np.testing.assert_allclose(b, a, rtol=1e-3, atol=tol)
+
+    jax.tree_util.tree_map(close, base_grad, r_grad)
+
+  def test_unknown_remat_policy_rejected(self):
+    cfg = coco_xmc.get_test_config()
+    cfg.remat = True
+    cfg.remat_policy = "everything"
+    with pytest.raises(ValueError, match="remat_policy"):
+      init_g_d(cfg)
+
   def test_remat_threshold_param_structure_unchanged(self):
     # Remat wrapping must not disturb the parameter tree (checkpoint
     # compatibility between remat settings).

@@ -117,6 +117,14 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # activation HBM; keeping the small-scale activations avoids their
   # recompute for ~no memory cost.
   config.remat_min_resolution = 0
+  # What remat saves at block boundaries: "full" recomputes the whole
+  # block in the backward (classic remat — minimum activation memory);
+  # "conv" saves every conv/matmul output and recomputes only the
+  # elementwise chains between them (BN normalization, relu, modulation).
+  # "conv" targets HBM *bandwidth* rather than capacity: the step's
+  # residual traffic drops while the recompute adds only cheap VPU work,
+  # never a second pass through the MXU.
+  config.remat_policy = "full"
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).
   config.fused_spatial_cond = True

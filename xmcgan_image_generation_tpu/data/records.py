@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 from typing import Dict, Iterator, List, Tuple, Union
 
 import numpy as np
@@ -306,16 +307,24 @@ class TFRecordFile:
       except OSError:
         pass  # Read-only directory: keep the index in memory.
     self._file = None
+    self._open_lock = threading.Lock()
 
   def __len__(self) -> int:
     return len(self.offsets)
 
   def read(self, index: int) -> bytes:
-    if self._file is None:  # Lazy per-process open (fork-safe for grain).
-      self._file = open(self.path, "rb")
+    f = self._file
+    if f is None:  # Lazy per-process open (fork-safe for grain).
+      # Double-checked under a lock: an unsynchronized open race drops the
+      # loser's file object, whose GC closes the fd out from under any
+      # thread already pread()ing on it (EBADF).
+      with self._open_lock:
+        if self._file is None:
+          self._file = open(self.path, "rb")
+        f = self._file
     # Positioned reads (pread): no shared seek state, so concurrent reads
     # from grain's prefetch threads are safe on the one file handle.
-    fd = self._file.fileno()
+    fd = f.fileno()
     offset = int(self.offsets[index])
     header = os.pread(fd, 8, offset)
     (length,) = struct.unpack("<Q", header)
@@ -330,4 +339,9 @@ class TFRecordFile:
   def __getstate__(self):
     state = self.__dict__.copy()
     state["_file"] = None
+    del state["_open_lock"]
     return state
+
+  def __setstate__(self, state):
+    self.__dict__.update(state)
+    self._open_lock = threading.Lock()

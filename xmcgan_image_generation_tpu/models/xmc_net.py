@@ -63,6 +63,19 @@ _DISC_DOWNSAMPLE = {
 }
 
 
+def _matmul_saveable(prim, *_, **__) -> bool:
+  """Remat policy: save conv/matmul outputs, recompute elementwise chains.
+
+  Saving exactly the MXU-op outputs means the backward never re-runs a
+  convolution or contraction; only the cheap VPU glue between them (BN
+  normalization, relu, conditional modulation) is recomputed.  That cuts
+  the residuals JAX stores for the backward — HBM *bandwidth*, not just
+  capacity — which is the measured wall of the fused 128px step
+  (BENCH_NOTES.md: 80.5% HBM, 46% MXU).
+  """
+  return prim.name in ("conv_general_dilated", "dot_general")
+
+
 def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
                  resolution: int = 0):
   """Optionally rematerialize residual blocks (``config.remat``).
@@ -74,12 +87,22 @@ def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
   ``config.remat_min_resolution > 0`` only blocks at or above that scale
   are rematerialized (selective remat: the large-scale activations
   dominate HBM, the small-scale ones are cheap to keep).
+
+  ``config.remat_policy`` selects what is saved at block boundaries:
+  "full" (save nothing — classic remat) or "conv" (save conv/matmul
+  outputs, recompute only elementwise glue — a bandwidth lever rather
+  than a capacity one).
   """
   if not config.get("remat", False):
     return block_cls
   min_res = config.get("remat_min_resolution", 0)
   if min_res and resolution and resolution < min_res:
     return block_cls
+  policy = config.get("remat_policy", "full")
+  if policy == "conv":
+    return nn.remat(block_cls, policy=_matmul_saveable)
+  if policy != "full":
+    raise ValueError(f"Unknown remat_policy: {policy!r}")
   return nn.remat(block_cls)
 
 
