@@ -269,6 +269,7 @@ def main():
                       help="force remat on, rematerializing only blocks "
                            "at/above this feature-map side (0 = all)")
   parser.add_argument("--remat_policy", default=None,
+                      choices=("full", "conv"),
                       help="remat policy: full (save nothing) or conv "
                            "(save conv/matmul outputs, recompute only "
                            "elementwise glue — an HBM-bandwidth lever); "
@@ -415,6 +416,8 @@ def main():
       cmd.append("--use_pallas")
     if args.remat_min_resolution is not None:
       cmd.append(f"--remat_min_resolution={args.remat_min_resolution}")
+    if args.remat_policy is not None:
+      cmd.append(f"--remat_policy={args.remat_policy}")
     if args.conv_backward is not None:
       cmd.append(f"--conv_backward={args.conv_backward}")
     for opt in args.compiler_option:

@@ -235,7 +235,12 @@ class TFRecordWriter:
   """Writes TFRecord files readable by TF and by `TFRecordFile`."""
 
   def __init__(self, path: str):
-    self._f = open(path, "wb")
+    # Lazy import avoids a data<->utils import cycle; the seam makes
+    # remote (gs://) writer targets work, e.g. TensorBoard event files
+    # in a cloud workdir (utils/tb_writer.py).
+    from xmcgan_image_generation_tpu.utils import fileio
+
+    self._f = fileio.open(path, "wb")
 
   def write(self, record: bytes) -> None:
     header = struct.pack("<Q", len(record))

@@ -22,6 +22,7 @@ from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
 from xmcgan_image_generation_tpu.engine import create_train_state
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
 from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
+from xmcgan_image_generation_tpu.utils import fileio
 from xmcgan_image_generation_tpu.utils import image_utils
 from xmcgan_image_generation_tpu.utils.checkpoint import (
     CheckpointManager,
@@ -55,8 +56,8 @@ def generate(config: ml_collections.ConfigDict, workdir: str,
 
   sample_fn = jax.jit(functools.partial(
       generate_batch, generator=generator, config=config))
-  out_dir = os.path.join(workdir, "samples")
-  os.makedirs(out_dir, exist_ok=True)
+  out_dir = fileio.join(workdir, "samples")
+  fileio.makedirs(out_dir, exist_ok=True)
   for i in range(num_batches):
     batch = {k: v for k, v in next(eval_iter).items()
              if k not in ("text", "filename")}
@@ -66,7 +67,7 @@ def generate(config: ml_collections.ConfigDict, workdir: str,
     if jax.process_index() != 0:
       continue
     for name in ("generated_image", "ema_generated_image", "image"):
-      path = os.path.join(out_dir,
+      path = fileio.join(out_dir,
                           f"step{step:08d}_batch{i}_{name}.png")
       image_utils.save_image(out[name], path, config.show_num)
   log.info("Wrote samples to %s", out_dir)

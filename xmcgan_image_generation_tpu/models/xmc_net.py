@@ -93,16 +93,18 @@ def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
   outputs, recompute only elementwise glue — a bandwidth lever rather
   than a capacity one).
   """
+  policy = config.get("remat_policy", "full")
+  if policy not in ("full", "conv"):
+    # Validate unconditionally: a typo'd policy must fail even when this
+    # particular block ends up not rematted (remat off / below min_res).
+    raise ValueError(f"Unknown remat_policy: {policy!r}")
   if not config.get("remat", False):
     return block_cls
   min_res = config.get("remat_min_resolution", 0)
   if min_res and resolution and resolution < min_res:
     return block_cls
-  policy = config.get("remat_policy", "full")
   if policy == "conv":
     return nn.remat(block_cls, policy=_matmul_saveable)
-  if policy != "full":
-    raise ValueError(f"Unknown remat_policy: {policy!r}")
   return nn.remat(block_cls)
 
 

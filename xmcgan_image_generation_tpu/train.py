@@ -36,6 +36,7 @@ from xmcgan_image_generation_tpu.engine import (
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
 from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
 from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
+from xmcgan_image_generation_tpu.utils import fileio
 from xmcgan_image_generation_tpu.utils.checkpoint import (
     CheckpointManager,
     checkpoints_dir,
@@ -80,7 +81,7 @@ def train(config: ml_collections.ConfigDict, workdir: str,
     workdir: Output directory for checkpoints, metrics and image grids.
     test_mode: Force a 1-step run (smoke).
   """
-  os.makedirs(workdir, exist_ok=True)
+  fileio.makedirs(workdir, exist_ok=True)
   rules = MeshRules.create(config.get("mesh_data", -1),
                            config.get("mesh_model", 1))
   log.info("mesh: %s; %d processes", rules.mesh.shape, jax.process_count())

@@ -10,11 +10,12 @@ iterator.  ``max_to_keep=5`` and save cadence match the reference defaults.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional
 
 import grain.python as pg
 import orbax.checkpoint as ocp
+
+from xmcgan_image_generation_tpu.utils import fileio
 
 STATE_ITEM = "state"
 DATA_ITEM = "data_iter"
@@ -25,7 +26,8 @@ class CheckpointManager:
 
   def __init__(self, directory: str, *, max_to_keep: int = 5,
                with_data_iter: bool = True):
-    self.directory = os.path.abspath(directory)
+    # Orbax speaks gs:// natively; only local paths need absolutizing.
+    self.directory = fileio.abspath(directory)
     self._with_data = with_data_iter
     item_names = [STATE_ITEM] + ([DATA_ITEM] if with_data_iter else [])
     item_handlers = {STATE_ITEM: ocp.StandardCheckpointHandler()}
@@ -100,4 +102,4 @@ class CheckpointManager:
 def checkpoints_dir(workdir: str) -> str:
   """The reference layout: ``{workdir}/checkpoints``
   (train_utils.py:370)."""
-  return os.path.join(workdir, "checkpoints")
+  return fileio.join(workdir, "checkpoints")

@@ -36,8 +36,13 @@ def make_grid(images: np.ndarray, max_images: int = 64) -> np.ndarray:
 
 def save_image(images: np.ndarray, path: str,
                max_images: Optional[int] = 64) -> None:
-  """Writes a [0, 1] float image (or batch of images) to a PNG file."""
+  """Writes a [0, 1] float image (or batch of images) to a PNG file.
+
+  ``path`` may be local or remote (gs://...) — writes ride the fileio
+  seam."""
   from PIL import Image  # Imported lazily; PIL only needed for export.
+
+  from xmcgan_image_generation_tpu.utils import fileio
 
   images = np.asarray(images, np.float32)
   if images.ndim == 4:
@@ -45,4 +50,5 @@ def save_image(images: np.ndarray, path: str,
   arr = np.clip(images * 255.0 + 0.5, 0, 255).astype(np.uint8)
   if arr.shape[-1] == 1:
     arr = arr[..., 0]
-  Image.fromarray(arr).save(path)
+  with fileio.open(path, "wb") as f:
+    Image.fromarray(arr).save(f, format="PNG")

@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 import time
 from typing import Dict, Mapping, Optional
 
 import numpy as np
 
+from xmcgan_image_generation_tpu.utils import fileio
 from xmcgan_image_generation_tpu.utils import image_utils
 
 log = logging.getLogger("xmcgan_tpu")
@@ -36,9 +36,9 @@ class MetricWriter:
     self.just_logging = just_logging
     self._tb = None
     if not just_logging:
-      os.makedirs(workdir, exist_ok=True)
-      os.makedirs(os.path.join(workdir, "images"), exist_ok=True)
-      self._f = open(os.path.join(workdir, "metrics.jsonl"), "a")
+      fileio.makedirs(workdir, exist_ok=True)
+      fileio.makedirs(fileio.join(workdir, "images"), exist_ok=True)
+      self._f = fileio.AppendableFile(fileio.join(workdir, "metrics.jsonl"))
       if tensorboard:
         from xmcgan_image_generation_tpu.utils.tb_writer import (
             EventFileWriter,
@@ -65,8 +65,8 @@ class MetricWriter:
     if self._f is None:
       return
     for name, batch in images.items():
-      path = os.path.join(self.workdir, "images",
-                          f"{name}_{int(step):08d}.png")
+      path = fileio.join(self.workdir, "images",
+                         f"{name}_{int(step):08d}.png")
       grid = image_utils.make_grid(np.asarray(batch), max_images)
       image_utils.save_image(grid, path)
       if self._tb is not None:
@@ -77,9 +77,10 @@ class MetricWriter:
   def write_hparams(self, hparams: Mapping) -> None:
     log.info("hparams: %s", dict(hparams))
     if self._f is not None:
-      with open(os.path.join(self.workdir, "hparams.json"), "w") as f:
-        json.dump({k: _jsonable(v) for k, v in dict(hparams).items()}, f,
-                  indent=2, default=str)
+      fileio.atomic_write(
+          fileio.join(self.workdir, "hparams.json"),
+          json.dumps({k: _jsonable(v) for k, v in dict(hparams).items()},
+                     indent=2, default=str))
 
   def flush(self) -> None:
     if self._f is not None:

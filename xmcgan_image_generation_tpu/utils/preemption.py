@@ -33,10 +33,11 @@ restarted job resumes exactly where it stopped (params + data iterator).
 from __future__ import annotations
 
 import logging
-import os
 import signal
 import threading
 from typing import Optional
+
+from xmcgan_image_generation_tpu.utils import fileio
 
 log = logging.getLogger("xmcgan_tpu")
 
@@ -61,7 +62,7 @@ class PreemptionGuard:
 
   def __init__(self, workdir: str, initial_step: int, *, margin: int = 2,
                process_index: int = 0):
-    self._path = os.path.join(workdir, MARKER)
+    self._path = fileio.join(workdir, MARKER)
     self._initial_step = initial_step
     self._margin = margin
     self._signaled = threading.Event()
@@ -84,7 +85,7 @@ class PreemptionGuard:
       stale = self._read_target()
       if stale is not None and stale < self._initial_step:
         try:
-          os.remove(self._path)
+          fileio.remove(self._path)
           log.info("Removed stale %s (target %d < initial step %d)",
                    MARKER, stale, self._initial_step)
         except OSError:
@@ -110,31 +111,25 @@ class PreemptionGuard:
 
   def _read_target(self) -> Optional[int]:
     try:
-      with open(self._path) as f:
-        return int(f.read().strip())
+      return int(fileio.read_text(self._path).strip())
     except (OSError, ValueError):
       return None
 
   def _write_target(self, step: int, _retry: bool = True) -> None:
     target = step + self._margin
     try:
-      # Atomic publish: temp file + rename, so a concurrent reader never
-      # sees a half-written target.  O_EXCL on the temp prevents two
-      # local processes colliding on it; the final link() is the race
-      # arbiter — first publisher wins.
-      tmp = f"{self._path}.tmp.{os.getpid()}"
-      try:
-        os.remove(tmp)  # leftover from a crashed attempt of this pid
-      except OSError:
-        pass
-      fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-      with os.fdopen(fd, "w") as f:
-        f.write(str(target))
-      try:
-        os.link(tmp, self._path)
-      finally:
-        os.remove(tmp)
-    except FileExistsError:
+      # Atomic create-if-absent via the fileio seam: O_EXCL temp + link on
+      # POSIX, an ifGenerationMatch=0 upload on GCS.  First publisher
+      # wins, and a concurrent reader never sees a half-written target.
+      won = fileio.create_exclusive(self._path, str(target))
+    except OSError as e:
+      # A transient fs error must not crash the trainer; the signal flag
+      # re-arms so the next step retries the write.
+      log.warning("Preemption marker write failed (%s); retrying next "
+                  "step", e)
+      self._signaled.set()
+      return
+    if not won:
       # A marker already exists.  If it is a LIVE target a peer won the
       # race — done.  If it is a STALE leftover (install()'s cleanup
       # failed or raced), it would swallow this signal forever: remove
@@ -143,17 +138,10 @@ class PreemptionGuard:
       if (_retry and existing is not None
           and existing < self._initial_step):
         try:
-          os.remove(self._path)
+          fileio.remove(self._path)
         except OSError:
           pass
         self._write_target(step, _retry=False)
-      return
-    except OSError as e:
-      # A transient fs error must not crash the trainer; the signal flag
-      # re-arms so the next step retries the write.
-      log.warning("Preemption marker write failed (%s); retrying next "
-                  "step", e)
-      self._signaled.set()
       return
     log.info("Preemption signal at step %d: stop agreed at step %d",
              step, target)
@@ -167,7 +155,7 @@ class PreemptionGuard:
     if self._process_index != 0:
       return
     try:
-      os.remove(self._path)
+      fileio.remove(self._path)
       log.info("Removed %s after normal completion", MARKER)
     except OSError:
       pass

@@ -273,8 +273,6 @@ def export_from_workdir(
   Artifacts are platform-polymorphic (TPU + CPU) by default, so an export
   produced on a CPU host deploys to TPU serving unchanged.
   """
-  import os
-
   from xmcgan_image_generation_tpu.engine import create_train_state
   from xmcgan_image_generation_tpu.parallel import MeshRules
   from xmcgan_image_generation_tpu.utils.checkpoint import (
@@ -294,8 +292,10 @@ def export_from_workdir(
   state = ckpt.restore(step, template, sharding=rules.replicated)
   ckpt.close()
 
-  out_dir = out_dir or os.path.join(workdir, "serving")
-  os.makedirs(out_dir, exist_ok=True)
+  from xmcgan_image_generation_tpu.utils import fileio
+
+  out_dir = out_dir or fileio.join(workdir, "serving")
+  fileio.makedirs(out_dir, exist_ok=True)
   names = {"ema": ["ema"], "normal": ["normal"],
            "both": ["ema", "normal"]}[weights]
   written = []
@@ -306,11 +306,11 @@ def export_from_workdir(
         generator, variables, config, batch_size=batch_size,
         platforms=platforms, quantize=quantize)
     suffix = f"_{quantize}" if quantize else ""
-    base = os.path.join(out_dir,
-                        f"generator_{name}{suffix}_step{step:08d}")
-    with open(base + ".stablehlo", "wb") as f:
+    base = fileio.join(out_dir,
+                       f"generator_{name}{suffix}_step{step:08d}")
+    with fileio.open(base + ".stablehlo", "wb") as f:
       f.write(bytes(exported.serialize()))
-    with open(base + ".json", "w") as f:
+    with fileio.open(base + ".json", "w") as f:
       f.write(artifact_metadata(config, weights=name, step=step,
                                 batch_size=batch_size, platforms=platforms,
                                 quantize=quantize))

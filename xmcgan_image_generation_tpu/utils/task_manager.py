@@ -13,10 +13,12 @@ Capability parity with reference xmcgan/utils/task_manager.py:28-202:
 from __future__ import annotations
 
 import csv
+import io
 import logging
-import os
 import time
 from typing import Dict, Iterable, Iterator, List, Optional, Set
+
+from xmcgan_image_generation_tpu.utils import fileio
 
 log = logging.getLogger("xmcgan_tpu")
 
@@ -27,20 +29,24 @@ class TaskManager:
   """Tracks the status of a training task via its checkpoint directory."""
 
   def __init__(self, checkpoint_dir: str):
-    self.checkpoint_dir = os.path.abspath(checkpoint_dir)
+    # All paths ride the fileio seam, so --workdir=gs://... (or the
+    # memory:// test fake) works like the reference's tf.io.gfile services
+    # (reference utils/task_manager.py:35-87).
+    self.checkpoint_dir = fileio.abspath(checkpoint_dir)
 
   @property
   def workdir(self) -> str:
-    return os.path.dirname(self.checkpoint_dir)
+    return fileio.dirname(self.checkpoint_dir)
 
   def mark_training_done(self) -> None:
-    os.makedirs(self.checkpoint_dir, exist_ok=True)
-    with open(os.path.join(self.checkpoint_dir, TRAIN_DONE_MARKER), "w") as f:
-      f.write(time.strftime("%Y-%m-%d %H:%M:%S"))
+    fileio.makedirs(self.checkpoint_dir, exist_ok=True)
+    fileio.atomic_write(
+        fileio.join(self.checkpoint_dir, TRAIN_DONE_MARKER),
+        time.strftime("%Y-%m-%d %H:%M:%S"))
 
   def is_training_done(self) -> bool:
-    return os.path.exists(os.path.join(self.checkpoint_dir,
-                                       TRAIN_DONE_MARKER))
+    return fileio.exists(fileio.join(self.checkpoint_dir,
+                                     TRAIN_DONE_MARKER))
 
   # Commit markers Orbax writes into a finalized step directory, by
   # version/filesystem convention (local rename-commit metadata vs the
@@ -61,14 +67,14 @@ class TaskManager:
     fall back to accepting all digit-named directories rather than idling
     forever; mixed listings log each skipped directory.
     """
-    if not os.path.isdir(self.checkpoint_dir):
+    if not fileio.isdir(self.checkpoint_dir):
       return []
     marked, unmarked = [], []
-    for name in os.listdir(self.checkpoint_dir):
-      path = os.path.join(self.checkpoint_dir, name)
-      if not (name.isdigit() and os.path.isdir(path)):
+    for name in fileio.listdir(self.checkpoint_dir):
+      path = fileio.join(self.checkpoint_dir, name)
+      if not (name.isdigit() and fileio.isdir(path)):
         continue
-      if any(os.path.exists(os.path.join(path, m))
+      if any(fileio.exists(fileio.join(path, m))
              for m in self._COMMIT_MARKERS):
         marked.append(int(name))
       else:
@@ -135,25 +141,26 @@ class TaskManagerWithCsvResults(TaskManager):
   def __init__(self, checkpoint_dir: str,
                score_file: Optional[str] = None):
     super().__init__(checkpoint_dir)
-    self._score_file = score_file or os.path.join(checkpoint_dir,
-                                                  "scores.csv")
+    self._score_file = score_file or fileio.join(checkpoint_dir,
+                                                 "scores.csv")
 
   def _evaluated_steps(self) -> List[int]:
-    if not os.path.exists(self._score_file):
+    if not fileio.exists(self._score_file):
       return []
-    with open(self._score_file) as f:
+    with fileio.open(self._score_file) as f:
       return [int(row["step"]) for row in csv.DictReader(f)]
 
   def add_eval_result(self, step: int, result: Dict[str, float],
                       default_value: float = -1.0) -> None:
     result = {k: float(v) for k, v in result.items()}
-    exists = os.path.exists(self._score_file)
+    exists = fileio.exists(self._score_file)
     fieldnames = ["step"] + sorted(result)
-    os.makedirs(os.path.dirname(self._score_file), exist_ok=True)
-    with open(self._score_file, "a", newline="") as f:
-      writer = csv.DictWriter(f, fieldnames=fieldnames,
-                              restval=default_value,
-                              extrasaction="ignore")
-      if not exists:
-        writer.writeheader()
-      writer.writerow({"step": int(step), **result})
+    fileio.makedirs(fileio.dirname(self._score_file), exist_ok=True)
+    buf = io.StringIO()
+    writer = csv.DictWriter(buf, fieldnames=fieldnames,
+                            restval=default_value,
+                            extrasaction="ignore")
+    if not exists:
+      writer.writeheader()
+    writer.writerow({"step": int(step), **result})
+    fileio.append_text(self._score_file, buf.getvalue())

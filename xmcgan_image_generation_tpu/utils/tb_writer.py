@@ -30,6 +30,7 @@ from typing import Mapping
 import numpy as np
 
 from xmcgan_image_generation_tpu.data import records
+from xmcgan_image_generation_tpu.utils import fileio
 
 
 def _varint_field(field: int, value: int) -> bytes:
@@ -88,10 +89,10 @@ class EventFileWriter:
   """Appends `Event` records to one ``events.out.tfevents.*`` file."""
 
   def __init__(self, logdir: str):
-    os.makedirs(logdir, exist_ok=True)
+    fileio.makedirs(logdir, exist_ok=True)
     name = (f"events.out.tfevents.{int(time.time())}."
             f"{socket.gethostname()}.{os.getpid()}")
-    self.path = os.path.join(logdir, name)
+    self.path = fileio.join(logdir, name)
     self._w = records.TFRecordWriter(self.path)
     # TensorBoard skips files whose first record is not this version stamp.
     self._w.write(_double_field(1, time.time())
