@@ -56,18 +56,44 @@ def build(config, batch_size):
   return step, state, super_batch
 
 
-def time_steps(run_one, state, n_steps):
+def time_steps(run_one, state, n_steps, repeats=1):
+  """Times ``repeats`` independent windows of ``n_steps`` steps each.
+
+  Returns the per-step seconds of every window (len == repeats).  The
+  tunneled chip shows ±10-20% run-to-run variance (BENCH_NOTES), so
+  single-window numbers cannot separate few-percent effects from noise;
+  multi-window medians + IQR can.
+  """
   # Warmup (compile + first execute).
   state = run_one(state, 0)
   jax.block_until_ready(state)
-  t0 = time.perf_counter()
-  for i in range(1, n_steps + 1):
-    state = run_one(state, i)
-  jax.block_until_ready(state)
-  return (time.perf_counter() - t0) / n_steps
+  times = []
+  i = 1
+  for _ in range(repeats):
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+      state = run_one(state, i)
+      i += 1
+    jax.block_until_ready(state)
+    times.append((time.perf_counter() - t0) / n_steps)
+  return times
 
 
-def bench_gspmd(step, state, super_batch, n_steps, compiler_options=None):
+def spread_stats(values):
+  """Median / IQR / extremes of a list of samples, JSON-able."""
+  v = np.asarray(values, np.float64)
+  q1, med, q3 = np.percentile(v, [25, 50, 75])
+  return {
+      "n": int(v.size),
+      "median": round(float(med), 4),
+      "iqr": round(float(q3 - q1), 4),
+      "min": round(float(v.min()), 4),
+      "max": round(float(v.max()), 4),
+  }
+
+
+def bench_gspmd(step, state, super_batch, n_steps, repeats=1,
+                compiler_options=None):
   """Our design: single jitted SPMD program, donated state."""
   from xmcgan_image_generation_tpu.parallel import MeshRules
   from xmcgan_image_generation_tpu.data.pipeline import host_batch_to_global
@@ -90,7 +116,7 @@ def bench_gspmd(step, state, super_batch, n_steps, compiler_options=None):
                            state, batch)
     return new_state
 
-  return time_steps(run_one, state, n_steps)
+  return time_steps(run_one, state, n_steps, repeats)
 
 
 def bench_reference_jit(config, batch_size, n_steps):
@@ -124,7 +150,7 @@ def bench_reference_jit(config, batch_size, n_steps):
                            state, batch)
     return new_state
 
-  sec = time_steps(run_one, state, n_steps)
+  sec = time_steps(run_one, state, n_steps)[0]
   return sec, batch_size * ref_config.d_step_per_g_step
 
 
@@ -154,7 +180,7 @@ def bench_reference_style(step, state, super_batch, n_steps):
     new_state, _ = p_step(rngs, state, batch)
     return new_state
 
-  return time_steps(run_one, state, n_steps)
+  return time_steps(run_one, state, n_steps)[0]
 
 
 def _load_baseline_cache():
@@ -257,6 +283,10 @@ def main():
   parser.add_argument("--quick", action="store_true",
                       help="fewer timing steps")
   parser.add_argument("--steps", type=int, default=None)
+  parser.add_argument("--repeats", type=int, default=None,
+                      help="independent timing windows for the headline "
+                           "measurement (median + IQR reported); default 5, "
+                           "1 with --quick")
   parser.add_argument("--image_size", type=int, default=128)
   parser.add_argument("--batch_size", type=int, default=None)
   parser.add_argument("--skip_baseline", action="store_true")
@@ -284,6 +314,11 @@ def main():
   parser.add_argument("--scale_fused_convs", type=int, default=None,
                       help="1/0: fold G upsamples / D pools into the "
                            "adjacent convs (ops/scale_fuse.py)")
+  parser.add_argument("--dual_cotangent_vjp", type=int, default=None,
+                      help="1/0: reference-style single-vjp dual-cotangent "
+                           "G+D gradients instead of two minimal grad "
+                           "passes (engine/xmc_gan.py) — equal FLOPs, "
+                           "possibly different HBM traffic")
   parser.add_argument("--test_config", action="store_true",
                       help="tiny get_test_config dims (CI smoke of the "
                            "bench pipeline itself; not a benchmark)")
@@ -297,6 +332,7 @@ def main():
       compiler_options[name] = value
 
   n_steps = args.steps or (3 if args.quick else 10)
+  repeats = args.repeats or (1 if args.quick else 5)
 
   # Device acquisition watchdog: when the axon TPU tunnel is down, the
   # first backend touch blocks inside PJRT with multi-minute retries.
@@ -342,6 +378,8 @@ def main():
     config.conv_backward = args.conv_backward
   if args.scale_fused_convs is not None:
     config.scale_fused_convs = bool(args.scale_fused_convs)
+  if args.dual_cotangent_vjp is not None:
+    config.dual_cotangent_vjp = bool(args.dual_cotangent_vjp)
 
   # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
   # with chip count, with OOM fallback for small-HBM parts.  256px fits
@@ -360,9 +398,9 @@ def main():
         # Keep a pristine copy: the gspmd variant donates its state.
         state_copy = jax.jit(
             lambda s: jax.tree_util.tree_map(jnp.copy, s))(state0)
-        sec = bench_gspmd(step, state0, super_batch, n_steps,
-                          compiler_options=compiler_options)
-        return step, state_copy, super_batch, bs, sec
+        secs = bench_gspmd(step, state0, super_batch, n_steps, repeats,
+                           compiler_options=compiler_options)
+        return step, state_copy, super_batch, bs, secs
       except Exception as e:  # noqa: BLE001 - OOM fallback
         if _is_oom(e):
           log(f"batch {bs} OOM, retrying smaller")
@@ -373,16 +411,21 @@ def main():
   built = measure_variant(config, candidates)
   if built is None:
     raise RuntimeError("All batch sizes OOMed")
-  step, state_copy, super_batch, batch_size, sec_per_step = built
+  step, state_copy, super_batch, batch_size, secs_per_step = built
 
   images_per_step = batch_size * config.d_step_per_g_step
+  sec_per_step = float(np.median(secs_per_step))
   throughput = images_per_step / sec_per_step / n_chips
+  throughputs = [images_per_step / s / n_chips for s in secs_per_step]
   log(f"gspmd ({'fused' if config.scale_fused_convs else 'naive'} convs): "
-      f"{sec_per_step*1e3:.1f} ms/step, batch {batch_size}, "
+      f"{sec_per_step*1e3:.1f} ms/step (median of {len(secs_per_step)} "
+      f"windows x {n_steps} steps), batch {batch_size}, "
       f"{throughput:.2f} images/sec/chip")
 
   vs_baseline = 1.0
   extra = {}
+  if len(throughputs) > 1:
+    extra["spread"] = spread_stats(throughputs)
 
   # Conv-pipeline A/B: with no explicit --scale_fused_convs, measure the
   # other pipeline (scale-fused vs naive resample+conv — ops/scale_fuse.py)
@@ -407,7 +450,8 @@ def main():
     alt_fused = not config.scale_fused_convs
     cmd = [sys.executable, _os.path.abspath(__file__),
            "--skip_baseline", f"--scale_fused_convs={int(alt_fused)}",
-           f"--batch_size={batch_size}", f"--steps={n_steps}"]
+           f"--batch_size={batch_size}", f"--steps={n_steps}",
+           f"--repeats={repeats}"]
     if args.test_config:
       cmd.append("--test_config")
     else:
@@ -420,15 +464,19 @@ def main():
       cmd.append(f"--remat_policy={args.remat_policy}")
     if args.conv_backward is not None:
       cmd.append(f"--conv_backward={args.conv_backward}")
+    if args.dual_cotangent_vjp is not None:
+      cmd.append(f"--dual_cotangent_vjp={args.dual_cotangent_vjp}")
     for opt in args.compiler_option:
       cmd += ["--compiler_option", opt]
-    alt_tp = None
+    alt_tp, alt_spread = None, None
     try:
       proc = subprocess.run(cmd, capture_output=True, text=True,
                             timeout=1800)
       log(proc.stderr.strip())
       if proc.returncode == 0:
-        alt_tp = json.loads(proc.stdout.strip().splitlines()[-1])["value"]
+        alt_json = json.loads(proc.stdout.strip().splitlines()[-1])
+        alt_tp = alt_json["value"]
+        alt_spread = alt_json.get("spread")
       else:
         log(f"conv-pipeline A/B subprocess failed (rc={proc.returncode})")
     except Exception as e:  # noqa: BLE001 - A/B is best-effort
@@ -439,6 +487,11 @@ def main():
           names[config.scale_fused_convs]: round(throughput, 3),
           names[alt_fused]: round(alt_tp, 3),
       }
+      if "spread" in extra:
+        extra["conv_pipeline"][
+            f"{names[config.scale_fused_convs]}_spread"] = extra["spread"]
+      if alt_spread is not None:
+        extra["conv_pipeline"][f"{names[alt_fused]}_spread"] = alt_spread
       ratio = max(alt_tp, throughput) / max(1e-9, min(alt_tp, throughput))
       if ratio > 4.0:
         log(f"conv-pipeline A/B implausible ({ratio:.1f}x apart; the "
@@ -448,6 +501,10 @@ def main():
       elif alt_tp > throughput:
         config.scale_fused_convs = alt_fused
         throughput, sec_per_step = alt_tp, images_per_step / alt_tp / n_chips
+        if alt_spread is not None:
+          extra["spread"] = alt_spread
+        else:
+          extra.pop("spread", None)
       extra["conv_pipeline"]["selected"] = names[config.scale_fused_convs]
   if not args.skip_baseline:
     ref_throughput = _baseline_throughput(
@@ -485,6 +542,13 @@ def main():
       # which lives behind --pmap_baseline as "pmap_measured").  Consumers
       # comparing across rounds must match this kind.
       "vs_baseline_kind": "jit-reference-design",
+      # Scope marker: this benchmark feeds one pre-placed device batch
+      # (compute throughput).  End-to-end throughput with the real input
+      # pipeline is host-CPU-bound on small hosts — see BENCH_NOTES.md
+      # "Input pipeline end to end" (241-274 img/s on a 1-core host;
+      # a ~4-core host sustains the compute rate with pre-resized shards).
+      "input_pipeline": "synthetic pre-placed batch; e2e numbers in "
+                        "BENCH_NOTES.md (host-bound on 1-core hosts)",
       **extra,
   }))
 

@@ -18,18 +18,13 @@ stray ``with_sharding_constraint`` or a reshape XLA can't propagate
 through), without needing real multi-chip hardware.
 """
 
-import functools
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 import pytest
 
-from xmcgan_image_generation_tpu.configs import coco_xmc, coco_xmc_256
-from xmcgan_image_generation_tpu.data.pipeline import template_batch
-from xmcgan_image_generation_tpu.engine.state import abstract_train_state
-from xmcgan_image_generation_tpu.engine.step import train_step
-from xmcgan_image_generation_tpu.parallel import MeshRules
+from xmcgan_image_generation_tpu.parallel.audit import (
+    flagship_config,
+    lowered_step,
+    word_loss_blowup,
+)
 from xmcgan_image_generation_tpu.parallel.introspect import (
     collective_counts,
     max_tensor_bytes,
@@ -38,76 +33,17 @@ from xmcgan_image_generation_tpu.parallel.introspect import (
 
 N_DEV = 8
 
-
-def _word_loss_blowup(text, config):
-  """Returns the [B_global, B_global, ...] word-loss intermediates that a
-  de-sharded contrastive path would materialize per device.
-
-  Every tensor of that pipeline (sim/alpha [B,B,R,17], context
-  [B,B,17,768], num/den [B,B,17]) has the region count or the word
-  length as its third dim, so a tensor is only flagged when dim 2 is one
-  of those.  This keeps out (a) conv activations whose H=W happen to
-  equal B_global ([B_dev, 64, 64, C] transposed at 128px batch 64) and
-  (b) small [B,B,k,768] fusion scratch with k < 17.
-  """
-  b_global = config.batch_size
-  regions = config.cond_size ** 2  # the x_cond snapshot resolution
-  return [
-      (dtype, dims, nbytes)
-      for dtype, dims, nbytes in tensor_shapes(text)
-      if len(dims) >= 3 and dims[0] == b_global and dims[1] == b_global
-      and dims[2] in (regions, 17)
-  ]
+# The audit logic lives in parallel/audit.py so the driver-visible dry run
+# (__graft_entry__.dryrun_multichip) records the same census every round.
+_word_loss_blowup = word_loss_blowup
 
 
 def _flagship_config(which):
-  if which == "128":
-    config = coco_xmc.get_config()
-    config.batch_size = 64  # 8 per chip on the 8-device mesh.
-  else:
-    config = coco_xmc_256.get_config()
-    config.batch_size = 16  # the measured single-chip 256px batch.
-  # The Pallas kernels don't lower on the CPU AOT backend; the XLA
-  # formulation is the GSPMD path whose sharding these tests audit (the
-  # sharded Pallas dispatch is covered functionally in test_engine).
-  config.use_pallas = False
-  # The frozen tower's random init is irrelevant to partitioning and
-  # would embed ~100 MB of constants into the lowering.
-  config.pretrained_image_contrastive = False
-  return config
+  return flagship_config(which, n_devices=N_DEV)
 
 
 def _lowered_step(config):
-  rules = MeshRules.create(data=N_DEV, model=1,
-                           devices=jax.devices()[:N_DEV])
-  super_n = config.batch_size * config.d_step_per_g_step
-  host_batch = template_batch(config, super_n)
-  batch = {
-      k: jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=rules.batch)
-      for k, v in host_batch.items()
-  }
-  init_batch = {
-      k: jax.ShapeDtypeStruct((config.batch_size,) + v.shape[1:], v.dtype)
-      for k, v in host_batch.items()
-  }
-  _, _, state = abstract_train_state(config, init_batch)
-  state = jax.tree_util.tree_map(
-      lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
-                                     sharding=rules.replicated),
-      state)
-  # generator/discriminator must be the real modules: rebuild them the
-  # same way abstract_train_state did.
-  from xmcgan_image_generation_tpu.models import get_architecture
-
-  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-  generator, discriminator = get_architecture(config, dtype)
-  step_fn = jax.jit(
-      functools.partial(train_step, generator=generator,
-                        discriminator=discriminator, config=config,
-                        additional_data={}),
-      donate_argnums=(1,))
-  rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
-  return step_fn.lower(rng, state, batch)
+  return lowered_step(config, n_devices=N_DEV)
 
 
 def _compiled_step_text(config):

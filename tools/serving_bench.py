@@ -53,6 +53,14 @@ def main():
                       "random-init weights — timing only)")
   p.add_argument("--batch_size", type=int, default=64)
   p.add_argument("--steps", type=int, default=20)
+  p.add_argument("--sizes", action="store_true",
+                 help="also export f32/bf16/int8 artifacts and report "
+                      "byte sizes + the int8 output deviation vs the "
+                      "full-precision artifact")
+  p.add_argument("--symbolic", action="store_true",
+                 help="also export ONE symbolic-batch artifact and time "
+                      "it at batch 8/32/64 (each batch size is its own "
+                      "XLA specialization at call time)")
   args = p.parse_args()
 
   from xmcgan_image_generation_tpu.engine import create_train_state
@@ -100,14 +108,68 @@ def main():
   log(f"exported artifact: {sec_art*1e3:.2f} ms/batch, "
       f"{b/sec_art:.1f} images/sec")
 
-  print(json.dumps({
+  result = {
       "metric": f"xmcgan-{config.image_size}px generator serving "
                 f"throughput (batch {b})",
       "images_per_sec_jit": round(b / sec_jit, 2),
       "images_per_sec_exported": round(b / sec_art, 2),
       "export_overhead": round(sec_art / sec_jit, 4),
       "unit": "images/sec",
-  }))
+  }
+
+  if args.symbolic:
+    exp_sym = serving.export_generator(generator, dict(variables), config,
+                                       batch_size=None)
+    restored_sym = serving.load_exported(bytes(exp_sym.serialize()))
+    sym = {}
+    for bs in (8, 32, 64):
+      r = np.random.RandomState(1)
+      ins = tuple(jnp.asarray(x) for x in (
+          r.randn(bs, serving.BERT_DIM).astype(np.float32),
+          r.randn(bs, serving.COCO_MAX_TEXT_LENGTH,
+                  serving.BERT_DIM).astype(np.float32),
+          r.randint(3, 18, size=(bs, 1)).astype(np.float32),
+          r.randn(bs, config.z_dim).astype(np.float32),
+      ))
+      sec = time_calls(restored_sym.call, ins, args.steps)
+      sym[f"batch_{bs}"] = round(bs / sec, 2)
+      log(f"symbolic artifact @ batch {bs}: {sec*1e3:.2f} ms/batch, "
+          f"{bs/sec:.1f} images/sec")
+    result["images_per_sec_symbolic_artifact"] = sym
+
+  if args.sizes:
+    import copy
+
+    from xmcgan_image_generation_tpu.models import get_architecture
+
+    sizes = {}
+    outputs = {}
+    for name, dtype, quantize in (("f32", "float32", None),
+                                  ("bf16", "bfloat16", None),
+                                  ("int8", "bfloat16", "int8")):
+      cfg = copy.deepcopy(config)
+      cfg.dtype = dtype
+      # Rebuild the generator module with the variant's compute dtype —
+      # the module bakes its dtype in at construction; the params tree is
+      # structurally identical across dtypes.
+      gen_v, _ = get_architecture(
+          cfg, jnp.float32 if dtype == "float32" else jnp.bfloat16)
+      exp = serving.export_generator(gen_v, dict(variables), cfg,
+                                     batch_size=b, quantize=quantize)
+      blob = bytes(exp.serialize())
+      sizes[name] = len(blob)
+      out = np.asarray(serving.load_exported(blob).call(*inputs))
+      outputs[name] = out
+      log(f"artifact {name}: {len(blob)/1e6:.2f} MB")
+    result["artifact_bytes"] = sizes
+    result["int8_max_abs_dev_vs_bf16"] = round(
+        float(np.max(np.abs(outputs["int8"].astype(np.float64)
+                            - outputs["bf16"].astype(np.float64)))), 5)
+    result["bf16_max_abs_dev_vs_f32"] = round(
+        float(np.max(np.abs(outputs["bf16"].astype(np.float64)
+                            - outputs["f32"].astype(np.float64)))), 5)
+
+  print(json.dumps(result))
 
 
 if __name__ == "__main__":
