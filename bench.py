@@ -293,8 +293,11 @@ def main():
   parser.add_argument("--pmap_baseline", action="store_true",
                       help="also measure the literal pmap execution model "
                            "(informational; dispatch-dominated here)")
-  parser.add_argument("--use_pallas", action="store_true",
-                      help="enable the fused Pallas kernels in the step")
+  parser.add_argument("--use_pallas", type=int, default=None, nargs="?",
+                      const=1,
+                      help="1/0: fused Pallas contrastive kernels in the "
+                           "step (default: the config's setting; bare "
+                           "--use_pallas means 1 for compatibility)")
   parser.add_argument("--remat_min_resolution", type=int, default=None,
                       help="force remat on, rematerializing only blocks "
                            "at/above this feature-map side (0 = all)")
@@ -366,8 +369,8 @@ def main():
   else:
     config.image_size = args.image_size
   config.data_source = "synthetic"
-  if args.use_pallas:
-    config.use_pallas = True
+  if args.use_pallas is not None:
+    config.use_pallas = bool(args.use_pallas)
   if args.remat_min_resolution is not None:
     config.remat = True
     config.remat_min_resolution = args.remat_min_resolution
@@ -456,8 +459,8 @@ def main():
       cmd.append("--test_config")
     else:
       cmd.append(f"--image_size={args.image_size}")
-    if args.use_pallas:
-      cmd.append("--use_pallas")
+    if args.use_pallas is not None:
+      cmd.append(f"--use_pallas={int(args.use_pallas)}")
     if args.remat_min_resolution is not None:
       cmd.append(f"--remat_min_resolution={args.remat_min_resolution}")
     if args.remat_policy is not None:
