@@ -144,9 +144,13 @@ def main():
 
     sizes = {}
     outputs = {}
-    for name, dtype, quantize in (("f32", "float32", None),
-                                  ("bf16", "bfloat16", None),
-                                  ("int8", "bfloat16", "int8")):
+    # bf16 first: the execute step is best-effort (the axon tunnel's
+    # remote-compile endpoint rejects request bodies the size of the f32
+    # artifact with HTTP 413), and the int8-vs-bf16 deviation bound is
+    # the one that gates the quantized-serving opt-in.
+    for name, dtype, quantize in (("bf16", "bfloat16", None),
+                                  ("int8", "bfloat16", "int8"),
+                                  ("f32", "float32", None)):
       cfg = copy.deepcopy(config)
       cfg.dtype = dtype
       # Rebuild the generator module with the variant's compute dtype —
@@ -158,16 +162,19 @@ def main():
                                      batch_size=b, quantize=quantize)
       blob = bytes(exp.serialize())
       sizes[name] = len(blob)
-      out = np.asarray(serving.load_exported(blob).call(*inputs))
-      outputs[name] = out
       log(f"artifact {name}: {len(blob)/1e6:.2f} MB")
+      try:
+        outputs[name] = np.asarray(
+            serving.load_exported(blob).call(*inputs))
+      except Exception as e:  # size limits of the transport, OOM, ...
+        log(f"artifact {name}: execute skipped ({type(e).__name__}: "
+            f"{str(e)[:120]})")
     result["artifact_bytes"] = sizes
-    result["int8_max_abs_dev_vs_bf16"] = round(
-        float(np.max(np.abs(outputs["int8"].astype(np.float64)
-                            - outputs["bf16"].astype(np.float64)))), 5)
-    result["bf16_max_abs_dev_vs_f32"] = round(
-        float(np.max(np.abs(outputs["bf16"].astype(np.float64)
-                            - outputs["f32"].astype(np.float64)))), 5)
+    for what_a, what_b in (("int8", "bf16"), ("bf16", "f32")):
+      if what_a in outputs and what_b in outputs:
+        result[f"{what_a}_max_abs_dev_vs_{what_b}"] = round(
+            float(np.max(np.abs(outputs[what_a].astype(np.float64)
+                                - outputs[what_b].astype(np.float64)))), 5)
 
   print(json.dumps(result))
 

@@ -78,11 +78,17 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.mesh_data = -1
   config.mesh_model = 1
   # Use Pallas TPU kernels for the fused contrastive / attention ops.
-  # Default ON since round 3: with the analytic two-kernel backward the
-  # fused path wins on a single v5e at both measured batches (56: 257.7
-  # vs 259.4 ms/step; 84: 402.6 vs 408.5 — tools/tpu_smoke.py), and under
-  # a multi-chip mesh the sharded dispatch additionally avoids the
-  # B^2*R*L per-device blow-up of the XLA formulation's all-gather.
+  # Default ON.  Honest single-chip evidence (round-4 variance-aware A/B,
+  # BENCH_NOTES): ON leads OFF by ~+1.4% with the same sign at both
+  # measured batches (56: 560.7 vs 553.0 img/s; 84: 553.6 vs 545.4) but
+  # each gap sits inside the ±2.3% cross-process spread, so on ONE chip
+  # the choice is a wash.  The default is justified by the multi-chip
+  # design: the sharded dispatch (ops/pallas/word_scores.py via the
+  # ambient mesh) gives each device only its rows of the [B, B] score
+  # grid, avoiding the per-device B^2*R*L blow-up the XLA formulation's
+  # all-gather induces — functionally validated on the 8-device mesh
+  # (tests/test_engine.py::TestPallasStep); wall-clock effect needs real
+  # multi-chip hardware.
   config.use_pallas = True
   # Ship images uint8 through the host pipeline and normalize on device
   # (bit-identical to the float path — the host resize quantizes through
@@ -121,9 +127,11 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # block in the backward (classic remat — minimum activation memory);
   # "conv" saves every conv/matmul output and recomputes only the
   # elementwise chains between them (BN normalization, relu, modulation).
-  # "conv" targets HBM *bandwidth* rather than capacity: the step's
-  # residual traffic drops while the recompute adds only cheap VPU work,
-  # never a second pass through the MXU.
+  # Measured on a v5e at flagship shapes (BENCH_NOTES, round 4): remat of
+  # ANY kind is a capacity lever, not a bandwidth one — when activations
+  # fit, no remat wins (560.7 vs 512.5 img/s at 128px/batch 56); when
+  # blanket remat is forced, "conv" beats "full" by +6.5% and is the
+  # policy to pick on small-HBM parts.
   config.remat_policy = "full"
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).

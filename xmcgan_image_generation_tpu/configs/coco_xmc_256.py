@@ -26,6 +26,12 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # to 128 for smaller-HBM parts or larger per-chip batches.
   config.remat = True
   config.remat_min_resolution = 256
+  # The round-4 interaction sweep (scale_fused x remat_policy x batch,
+  # BENCH_NOTES) re-confirmed these defaults with everything else ON:
+  # full-policy remat of the 256px scale beats the conv policy at both
+  # batches (16: 159.8 vs 155.2 img/s; 32: 169.3 vs 164.9) — at the
+  # bandwidth-heavy largest scale, saving its conv outputs costs more
+  # HBM traffic than recomputing them.
   return config
 
 
