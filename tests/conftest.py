@@ -21,6 +21,15 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
     + " --xla_cpu_collective_timeout_seconds=1200"
 )
+# The suite is compile-bound on this 1-core box (a cold quick tier spent
+# ~85% of its 20 min inside XLA:CPU optimization passes).  Tests assert
+# numerics/structure, not CPU codegen quality, so run the test backend at
+# optimization level 0: measured -42% cold compile on the worst single
+# test with identical results.  Production-opt coverage still comes from
+# the on-chip benches and the driver dryrun (full-opt by default), and
+# JAX_TEST_XLA_OPT=full restores the default pipeline here.
+if os.environ.get("JAX_TEST_XLA_OPT", "") != "full":
+  os.environ["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

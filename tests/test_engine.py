@@ -128,6 +128,7 @@ class TestDualCotangentVJP:
       np.testing.assert_allclose(float(m_split[k]), float(m_dual[k]),
                                  rtol=1e-5, atol=1e-7)
 
+  @pytest.mark.heavy
   def test_ema_update(self):
     config = tiny_config(polyak_decay=0.5)
     batch, generator, discriminator, state = setup(config)
@@ -141,6 +142,8 @@ class TestDualCotangentVJP:
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
         new_state.ema_params, want)
 
+  @pytest.mark.heavy  # compiles the full dual-cotangent step (~50s); the
+  # formulation is non-default, so all its compile-bound tests are heavy.
   def test_step_increments_only_on_joint_update(self):
     config = tiny_config()
     batch, generator, discriminator, state = setup(config)

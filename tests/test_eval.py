@@ -155,6 +155,9 @@ class TestInceptionScore:
 
 class TestInceptionV3:
 
+  @pytest.mark.heavy  # ~100s: compiles the full 299px InceptionV3 graph;
+  # the quick tier keeps test_weight_roundtrip and the numeric Keras
+  # conversion test (test_inception_conversion.py) as the Inception gates.
   def test_forward_shapes(self):
     from xmcgan_image_generation_tpu.utils.eval_metrics import (
         make_inception_fn,

@@ -13,6 +13,14 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
+# These subprocesses duplicate exactly what the build driver itself runs
+# every round (compile-heavy: the dryrun alone is ~2 min on this box), so
+# they live in the heavy tier — the quick tier gates code the driver does
+# NOT independently exercise.
+pytestmark = pytest.mark.heavy
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 

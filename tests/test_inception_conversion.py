@@ -15,13 +15,22 @@ import sys
 import numpy as np
 import pytest
 
-tf = pytest.importorskip("tensorflow")
+# ~80s, dominated by building/running Keras' InceptionV3 on CPU — not
+# XLA-compile time, so the quick tier's opt-level lever can't touch it.
+# The quick tier keeps test_eval.py::TestInceptionV3::test_weight_roundtrip
+# as its Inception gate; this numeric Keras-parity test runs in the heavy
+# tier (and whenever the converter or the Flax tower changes).
+pytestmark = pytest.mark.heavy
 
 sys.path.insert(0, "tools")
 
 
 @pytest.fixture(scope="module")
 def keras_model():
+  # Import inside the fixture: a module-level importorskip would pull the
+  # whole TF runtime in at COLLECTION time, which the quick tier (where
+  # this module is deselected) would still pay for.
+  tf = pytest.importorskip("tensorflow")
   model = tf.keras.applications.InceptionV3(include_top=True, weights=None)
   rng = np.random.default_rng(0)
   for w in model.weights:
@@ -39,6 +48,7 @@ def keras_model():
 
 def test_converted_weights_reproduce_keras_forward(keras_model, tmp_path):
   import jax
+  import tensorflow as tf  # the keras_model fixture already gated on it
   from convert_keras_inception import extract
   from xmcgan_image_generation_tpu.models.inception_v3 import InceptionV3
   from xmcgan_image_generation_tpu.utils import inception_weights
