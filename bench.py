@@ -322,6 +322,11 @@ def main():
                            "G+D gradients instead of two minimal grad "
                            "passes (engine/xmc_gan.py) — equal FLOPs, "
                            "possibly different HBM traffic")
+  parser.add_argument("--grad_accum_steps", type=int, default=None,
+                      help="accumulate each G/D update over this many "
+                           "scanned microbatches (capacity knob: live "
+                           "activations are one microbatch's; "
+                           "engine/xmc_gan.py)")
   parser.add_argument("--test_config", action="store_true",
                       help="tiny get_test_config dims (CI smoke of the "
                            "bench pipeline itself; not a benchmark)")
@@ -383,6 +388,8 @@ def main():
     config.scale_fused_convs = bool(args.scale_fused_convs)
   if args.dual_cotangent_vjp is not None:
     config.dual_cotangent_vjp = bool(args.dual_cotangent_vjp)
+  if args.grad_accum_steps is not None:
+    config.grad_accum_steps = args.grad_accum_steps
 
   # Global batch: the reference's 56 (configs/coco_xmc.py:49), scaled up
   # with chip count, with OOM fallback for small-HBM parts.  256px fits
@@ -469,6 +476,8 @@ def main():
       cmd.append(f"--conv_backward={args.conv_backward}")
     if args.dual_cotangent_vjp is not None:
       cmd.append(f"--dual_cotangent_vjp={args.dual_cotangent_vjp}")
+    if args.grad_accum_steps is not None:
+      cmd.append(f"--grad_accum_steps={args.grad_accum_steps}")
     for opt in args.compiler_option:
       cmd += ["--compiler_option", opt]
     alt_tp, alt_spread = None, None

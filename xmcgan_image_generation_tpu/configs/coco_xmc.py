@@ -43,6 +43,15 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   config.beta2 = 0.999
   config.d_lr = 0.0004
   config.g_lr = 0.0001
+  # Optional learning-rate schedule on top of the constant reference
+  # rates: "constant" (the reference's behavior), "cosine" or "linear"
+  # (linear warmup over lr_warmup_steps, decay to 0 at lr_decay_steps;
+  # both counted in outer train steps — engine/state.py stretches the
+  # discriminator's schedule by d_step_per_g_step so G and D decay on the
+  # same wall-clock).  Non-constant schedules require lr_decay_steps > 0.
+  config.lr_schedule = "constant"
+  config.lr_warmup_steps = 0
+  config.lr_decay_steps = 0
   config.polyak_decay = 0.999
   config.show_num = 64
   config.shuffle_buffer_size = 1000
@@ -133,6 +142,16 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # blanket remat is forced, "conv" beats "full" by +6.5% and is the
   # policy to pick on small-HBM parts.
   config.remat_policy = "full"
+  # Gradient accumulation: each G/D update scans this many microbatches
+  # (batch_size must divide evenly) and applies the optimizer once on the
+  # averaged gradients.  A capacity knob beyond the reference's surface —
+  # live activation memory is one microbatch's — for fitting flagship
+  # batches on small-HBM parts or longer unrolls; compose with remat for
+  # the deepest savings.  NOT an exact large-batch emulation: the in-batch
+  # contrastive negative pools and BatchNorm statistics are
+  # microbatch-sized, and spectral-norm power iteration advances once per
+  # microbatch (see engine/xmc_gan.py).
+  config.grad_accum_steps = 1
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).
   config.fused_spatial_cond = True

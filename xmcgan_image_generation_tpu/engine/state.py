@@ -50,16 +50,60 @@ class TrainState:
   ema_params: Any
 
 
+def _learning_rate(config: ml_collections.ConfigDict, base: float,
+                   opt_steps_per_train_step: int = 1):
+  """Learning rate (or optax schedule) for one optimizer.
+
+  The reference trains at constant LRs only (reference
+  train_utils.py:181-186); ``config.lr_schedule`` adds the standard
+  production schedules on top: "constant" (default), "cosine" (linear
+  warmup to ``base``, cosine decay to 0) or "linear" (linear warmup,
+  linear decay to 0).  ``lr_warmup_steps`` / ``lr_decay_steps`` count
+  OUTER train steps; the discriminator takes ``d_step_per_g_step``
+  optimizer steps per outer step, so its schedule is stretched by that
+  factor and both nets decay on the same wall-clock.
+  """
+  sched = config.get("lr_schedule", "constant")
+  if sched == "constant":
+    return base
+  warmup = int(config.get("lr_warmup_steps", 0)) * opt_steps_per_train_step
+  decay = int(config.get("lr_decay_steps", 0)) * opt_steps_per_train_step
+  if decay <= 0:
+    raise ValueError(
+        "lr_schedule != 'constant' requires lr_decay_steps > 0 "
+        "(num_train_steps may be epoch-derived and unknown statically)")
+  if warmup >= decay:
+    raise ValueError(f"lr_warmup_steps ({warmup}) must be < lr_decay_steps "
+                     f"({decay})")
+  if sched == "cosine":
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base, warmup_steps=warmup,
+        decay_steps=decay, end_value=0.0)
+  if sched == "linear":
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base, max(warmup, 1)),
+         optax.linear_schedule(base, 0.0, decay - warmup)],
+        [warmup])
+  raise ValueError(f"Unknown lr_schedule: {sched!r}")
+
+
 def create_optimizers(
     config: ml_collections.ConfigDict
 ) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
   """Dual Adam with the reference's asymmetric learning rates.
 
   lr G 1e-4 / D 4e-4, betas (0.5, 0.999) (reference configs/coco_xmc.py:37-40,
-  train_utils.py:181-186).
+  train_utils.py:181-186).  With ``config.lr_schedule`` set, the constant
+  rates become scheduled peaks (see `_learning_rate`); the optimizer
+  state then carries a schedule step count, so the knob must be chosen
+  before training starts (checkpoint structure differs).
   """
-  g_tx = optax.adam(config.g_lr, b1=config.beta1, b2=config.beta2)
-  d_tx = optax.adam(config.d_lr, b1=config.beta1, b2=config.beta2)
+  g_tx = optax.adam(_learning_rate(config, config.g_lr),
+                    b1=config.beta1, b2=config.beta2)
+  d_tx = optax.adam(
+      _learning_rate(config, config.d_lr,
+                     int(config.get("d_step_per_g_step", 1))),
+      b1=config.beta1, b2=config.beta2)
   return g_tx, d_tx
 
 

@@ -37,6 +37,49 @@ def split_batch(batch: Batch, splits: int, axis: int = 0) -> List[Batch]:
   ]
 
 
+def stack_microbatches(batch: Batch, k: int) -> Batch:
+  """``[B, ...]`` -> ``[k, B//k, ...]`` microbatch stacking for `lax.scan`.
+
+  Used by gradient accumulation (``config.grad_accum_steps``): each update
+  scans over ``k`` microbatches, so live activation memory is one
+  microbatch's instead of the full batch's.  Microbatch ``i`` holds rows
+  ``[i*B//k, (i+1)*B//k)`` — the same partition `split_batch` would give.
+
+  Under GSPMD the incoming batch is sharded on dim 0; the stacked layout
+  is pinned to ``P(None, "data", ...)`` so each microbatch stays sharded
+  over the data axis (no-op without an ambient mesh, or when the
+  microbatch doesn't divide it).
+  """
+  if k <= 1:
+    return batch
+
+  def f(x: Array) -> Array:
+    if x.shape[0] % k:
+      raise ValueError(
+          f"batch dim {x.shape[0]} not divisible by grad_accum_steps={k}")
+    return _constrain_microbatch_rows(
+        x.reshape((k, x.shape[0] // k) + x.shape[1:]))
+
+  return jax.tree_util.tree_map(f, batch)
+
+
+def _constrain_microbatch_rows(x: Array) -> Array:
+  """Pins dim 1 (the per-microbatch example axis) to the data mesh axis."""
+  from xmcgan_image_generation_tpu.parallel import context as mesh_context
+  from xmcgan_image_generation_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_context.get_ambient_mesh()
+  if mesh is None:
+    return x
+  data = int(mesh.shape.get(mesh_lib.DATA_AXIS, 1))
+  if data <= 1 or x.shape[1] % data:
+    return x
+  spec = jax.sharding.PartitionSpec(
+      None, mesh_lib.DATA_AXIS, *([None] * (x.ndim - 2)))
+  return jax.lax.with_sharding_constraint(
+      x, jax.sharding.NamedSharding(mesh, spec))
+
+
 def train_step(
     rng: jax.Array,
     state: TrainState,

@@ -102,6 +102,157 @@ def _noise(rng: jax.Array, batch: Batch, config, dtype) -> Array:
       rng, (batch["image"].shape[0], config.z_dim), dtype)
 
 
+def _accumulated(fn, rng: jax.Array, states: Any, grad_template: Any,
+                 loss_template: Any, batch: Batch, k: int):
+  """Scans ``fn`` over ``k`` microbatches, averaging grads and losses.
+
+  ``fn(rng, states, microbatch) -> (grads, new_states, losses)``, all
+  pytrees of fixed structure.  Returns ``(new_states, mean_grads,
+  mean_losses)``.  Because the body is a `lax.scan`, the live activation
+  set is ONE microbatch's forward+backward — the capacity point of
+  gradient accumulation — and the mutable collections thread
+  sequentially: microbatch ``i+1`` sees the batch statistics and
+  spectral-norm power-iteration state microbatch ``i`` produced.
+  """
+  from xmcgan_image_generation_tpu.engine.step import stack_microbatches
+
+  micro = stack_microbatches(batch, k)
+  rngs = jax.random.split(rng, k)
+  zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
+      lambda x: jnp.zeros(x.shape, x.dtype), t)
+
+  def body(carry, xs):
+    carry_states, grad_sum, loss_sum = carry
+    mb_rng, mb = xs
+    grads, new_states, losses = fn(mb_rng, carry_states, mb)
+    add = functools.partial(jax.tree_util.tree_map, jnp.add)
+    return (new_states, add(grad_sum, grads), add(loss_sum, losses)), None
+
+  (new_states, grad_sum, loss_sum), _ = jax.lax.scan(
+      body, (states, zeros(grad_template), zeros(loss_template)),
+      (rngs, micro))
+  scale = lambda t: jax.tree_util.tree_map(lambda x: x / k, t)  # noqa: E731
+  return new_states, scale(grad_sum), scale(loss_sum)
+
+
+_LOSS_NAMES = ("d_loss", "g_loss", "c_loss_d", "c_loss_g",
+               "c_loss_g_pretrained")
+
+
+def _joint_grads(
+    rng: jax.Array,
+    g_params: Any,
+    d_params: Any,
+    g_state: Dict[str, Any],
+    d_state: Dict[str, Any],
+    batch: Batch,
+    *,
+    generator: functools.partial,
+    discriminator: functools.partial,
+    config: ml_collections.ConfigDict,
+    additional_data: Dict[str, Any],
+):
+  """Gradients, new mutable collections and losses for one (micro)batch of
+  the joint G+D update.
+
+  Factored out of `train_g_d` so gradient accumulation
+  (``config.grad_accum_steps``) can scan it over microbatches; both
+  gradient formulations (the minimal two-grad default and the reference
+  dual-cotangent VJP) live here.  Returns
+  ``(g_grad, d_grad, new_g_state, new_d_state, losses)``.
+  """
+  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+  z = _noise(rng, batch, config, dtype)
+  real_image = image_to_float(batch["image"])
+
+  if config.get("dual_cotangent_vjp", False):
+
+    def loss_fn(params_d, params_g):
+      g_variables = {"params": params_g, **g_state}
+      d_variables = {"params": params_d, **d_state}
+      generated_image, new_g_state = generator(train=True).apply(
+          g_variables, (batch, z), mutable=MUTABLE)
+      all_images = jnp.concatenate([real_image, generated_image])
+      (logit, stats), new_d_state = discriminator(train=True).apply(
+          d_variables, (all_images, batch), mutable=MUTABLE)
+      logit = logit.astype(jnp.float32)
+      real_logit, fake_logit = jnp.split(logit, 2)
+      d_loss, g_loss = losses.hinge(real_logit, fake_logit)
+      c_loss_d, c_loss_g = contrastive_totals(stats)
+      c_loss_g_pretrained = jnp.zeros((), jnp.float32)
+      if config.pretrained_image_contrastive:
+        c_loss_g_pretrained = pretrained_contrastive(
+            additional_data, real_image, generated_image)
+      d_loss = d_loss + c_loss_d
+      g_loss = g_loss + c_loss_g + c_loss_g_pretrained
+      aux = (dict(new_g_state), dict(new_d_state), c_loss_d, c_loss_g,
+             c_loss_g_pretrained)
+      return (d_loss, g_loss), aux
+
+    (d_loss, g_loss), vjp_fn, aux = jax.vjp(
+        loss_fn, d_params, g_params, has_aux=True)
+    new_g_state, new_d_state, c_loss_d, c_loss_g, c_loss_g_pretrained = aux
+    # Cotangent (1, 0): gradients of d_loss — keep only the D leg.
+    d_grad, _ = vjp_fn(
+        (jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32)))
+    # Cotangent (0, 1): gradients of g_loss — keep only the G leg.
+    _, g_grad = vjp_fn(
+        (jnp.zeros((), jnp.float32), jnp.ones((), jnp.float32)))
+  else:
+
+    def g_loss_fn(params_g):
+      g_variables = {"params": params_g, **g_state}
+      d_variables = {"params": d_params, **d_state}
+      generated_image, new_g_state = generator(train=True).apply(
+          g_variables, (batch, z), mutable=MUTABLE)
+      all_images = jnp.concatenate([real_image, generated_image])
+      (logit, stats), _ = discriminator(train=True).apply(
+          d_variables, (all_images, batch), mutable=MUTABLE)
+      logit = logit.astype(jnp.float32)
+      _, fake_logit = jnp.split(logit, 2)
+      _, c_loss_g = contrastive_totals(stats)
+      c_loss_g_pretrained = jnp.zeros((), jnp.float32)
+      if config.pretrained_image_contrastive:
+        c_loss_g_pretrained = pretrained_contrastive(
+            additional_data, real_image, generated_image)
+      g_loss = (losses.hinge_g(fake_logit) + c_loss_g
+                + c_loss_g_pretrained)
+      aux = (generated_image, dict(new_g_state), c_loss_g,
+             c_loss_g_pretrained)
+      return g_loss, aux
+
+    (g_loss, g_aux), g_grad = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(g_params)
+    generated_image, new_g_state, c_loss_g, c_loss_g_pretrained = g_aux
+
+    def d_loss_fn(params_d):
+      d_variables = {"params": params_d, **d_state}
+      # Identical forward values to the G-pass (stop_gradient is a no-op
+      # in forward HLO) — XLA CSEs the two D forwards into one.
+      all_images = jnp.concatenate(
+          [real_image, jax.lax.stop_gradient(generated_image)])
+      (logit, stats), new_d_state = discriminator(train=True).apply(
+          d_variables, (all_images, batch), mutable=MUTABLE)
+      logit = logit.astype(jnp.float32)
+      real_logit, fake_logit = jnp.split(logit, 2)
+      c_loss_d, _ = contrastive_totals(stats)
+      d_loss = losses.hinge_d(real_logit, fake_logit) + c_loss_d
+      return d_loss, (dict(new_d_state), c_loss_d)
+
+    (d_loss, d_aux), d_grad = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(d_params)
+    new_d_state, c_loss_d = d_aux
+
+  loss_values = dict(
+      d_loss=d_loss,
+      g_loss=g_loss,
+      c_loss_d=c_loss_d,
+      c_loss_g=c_loss_g,
+      c_loss_g_pretrained=c_loss_g_pretrained,
+  )
+  return g_grad, d_grad, dict(new_g_state), dict(new_d_state), loss_values
+
+
 def train_g_d(
     rng: jax.Array,
     state: TrainState,
@@ -139,92 +290,47 @@ def train_g_d(
   produce identical updates).  Set ``config.dual_cotangent_vjp=True``
   to run the reference-style formulation instead.
 
+  With ``config.grad_accum_steps = k > 1`` the update accumulates over k
+  microbatches under a `lax.scan` (live activations: one microbatch's)
+  and applies both optimizers once on the averaged gradients — a capacity
+  knob for HBM-constrained parts, beyond the reference's surface.  It is
+  NOT an exact large-batch emulation: the in-batch contrastive negative
+  pools and the BatchNorm statistics are microbatch-sized, and the
+  spectral-norm power iteration advances k times per update.
+
   Returns the new state and a dict of scalar metrics.
   """
   additional_data = additional_data or {}
-  dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
   g_tx, d_tx = create_optimizers(config)
-  z = _noise(rng, batch, config, dtype)
-  real_image = image_to_float(batch["image"])
-
-  if config.get("dual_cotangent_vjp", False):
-
-    def loss_fn(params_d, params_g):
-      g_variables = {"params": params_g, **state.generator_state}
-      d_variables = {"params": params_d, **state.discriminator_state}
-      generated_image, new_g_state = generator(train=True).apply(
-          g_variables, (batch, z), mutable=MUTABLE)
-      all_images = jnp.concatenate([real_image, generated_image])
-      (logit, stats), new_d_state = discriminator(train=True).apply(
-          d_variables, (all_images, batch), mutable=MUTABLE)
-      logit = logit.astype(jnp.float32)
-      real_logit, fake_logit = jnp.split(logit, 2)
-      d_loss, g_loss = losses.hinge(real_logit, fake_logit)
-      c_loss_d, c_loss_g = contrastive_totals(stats)
-      c_loss_g_pretrained = jnp.zeros((), jnp.float32)
-      if config.pretrained_image_contrastive:
-        c_loss_g_pretrained = pretrained_contrastive(
-            additional_data, real_image, generated_image)
-      d_loss = d_loss + c_loss_d
-      g_loss = g_loss + c_loss_g + c_loss_g_pretrained
-      aux = (dict(new_g_state), dict(new_d_state), c_loss_d, c_loss_g,
-             c_loss_g_pretrained)
-      return (d_loss, g_loss), aux
-
-    (d_loss, g_loss), vjp_fn, aux = jax.vjp(
-        loss_fn, state.d_params, state.g_params, has_aux=True)
-    new_g_state, new_d_state, c_loss_d, c_loss_g, c_loss_g_pretrained = aux
-    # Cotangent (1, 0): gradients of d_loss — keep only the D leg.
-    d_grad, _ = vjp_fn(
-        (jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32)))
-    # Cotangent (0, 1): gradients of g_loss — keep only the G leg.
-    _, g_grad = vjp_fn(
-        (jnp.zeros((), jnp.float32), jnp.ones((), jnp.float32)))
+  grads_fn = functools.partial(
+      _joint_grads, generator=generator, discriminator=discriminator,
+      config=config, additional_data=additional_data)
+  k = int(config.get("grad_accum_steps", 1))
+  if k <= 1:
+    g_grad, d_grad, new_g_state, new_d_state, loss_values = grads_fn(
+        rng, state.g_params, state.d_params, state.generator_state,
+        state.discriminator_state, batch)
   else:
+    # Gradient accumulation: scan k microbatches, average the gradients,
+    # apply the optimizers ONCE.  A capacity knob (activation memory is
+    # one microbatch's), NOT an exact large-batch emulation: the in-batch
+    # contrastive negative pools and the BatchNorm statistics are
+    # microbatch-sized, and the spectral-norm power iteration advances k
+    # times per update.
+    def fn(mb_rng, states, mb):
+      g_state, d_state = states
+      g_grad, d_grad, new_g, new_d, mb_losses = grads_fn(
+          mb_rng, state.g_params, state.d_params, g_state, d_state, mb)
+      return (g_grad, d_grad), (new_g, new_d), mb_losses
 
-    def g_loss_fn(params_g):
-      g_variables = {"params": params_g, **state.generator_state}
-      d_variables = {"params": state.d_params,
-                     **state.discriminator_state}
-      generated_image, new_g_state = generator(train=True).apply(
-          g_variables, (batch, z), mutable=MUTABLE)
-      all_images = jnp.concatenate([real_image, generated_image])
-      (logit, stats), _ = discriminator(train=True).apply(
-          d_variables, (all_images, batch), mutable=MUTABLE)
-      logit = logit.astype(jnp.float32)
-      _, fake_logit = jnp.split(logit, 2)
-      _, c_loss_g = contrastive_totals(stats)
-      c_loss_g_pretrained = jnp.zeros((), jnp.float32)
-      if config.pretrained_image_contrastive:
-        c_loss_g_pretrained = pretrained_contrastive(
-            additional_data, real_image, generated_image)
-      g_loss = (losses.hinge_g(fake_logit) + c_loss_g
-                + c_loss_g_pretrained)
-      aux = (generated_image, dict(new_g_state), c_loss_g,
-             c_loss_g_pretrained)
-      return g_loss, aux
-
-    (g_loss, g_aux), g_grad = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(state.g_params)
-    generated_image, new_g_state, c_loss_g, c_loss_g_pretrained = g_aux
-
-    def d_loss_fn(params_d):
-      d_variables = {"params": params_d, **state.discriminator_state}
-      # Identical forward values to the G-pass (stop_gradient is a no-op
-      # in forward HLO) — XLA CSEs the two D forwards into one.
-      all_images = jnp.concatenate(
-          [real_image, jax.lax.stop_gradient(generated_image)])
-      (logit, stats), new_d_state = discriminator(train=True).apply(
-          d_variables, (all_images, batch), mutable=MUTABLE)
-      logit = logit.astype(jnp.float32)
-      real_logit, fake_logit = jnp.split(logit, 2)
-      c_loss_d, _ = contrastive_totals(stats)
-      d_loss = losses.hinge_d(real_logit, fake_logit) + c_loss_d
-      return d_loss, (dict(new_d_state), c_loss_d)
-
-    (d_loss, d_aux), d_grad = jax.value_and_grad(
-        d_loss_fn, has_aux=True)(state.d_params)
-    new_d_state, c_loss_d = d_aux
+    loss_template = {name: jnp.zeros((), jnp.float32)
+                     for name in _LOSS_NAMES}
+    states, grads, loss_values = _accumulated(
+        fn, rng,
+        (dict(state.generator_state), dict(state.discriminator_state)),
+        (state.g_params, state.d_params), loss_template, batch, k)
+    new_g_state, new_d_state = states
+    g_grad, d_grad = grads
 
   d_updates, new_d_opt = d_tx.update(d_grad, state.d_opt_state,
                                      state.d_params)
@@ -248,36 +354,28 @@ def train_g_d(
       discriminator_state=new_d_state,
       ema_params=new_ema,
   )
-  metrics = dict(
-      d_loss=d_loss,
-      g_loss=g_loss,
-      c_loss_d=c_loss_d,
-      c_loss_g=c_loss_g,
-      c_loss_g_pretrained=c_loss_g_pretrained,
-  )
-  return new_state, metrics
+  return new_state, dict(loss_values)
 
 
-def train_d(
+def _critic_grads(
     rng: jax.Array,
-    state: TrainState,
+    d_params: Any,
+    *,
+    g_params: Any,
+    g_state: Dict[str, Any],
+    d_state: Dict[str, Any],
     batch: Batch,
     generator: functools.partial,
     discriminator: functools.partial,
     config: ml_collections.ConfigDict,
-) -> TrainState:
-  """Discriminator-only update (the extra critic steps).
-
-  Parity with reference xmc_gan.py:194-256: the generator runs forward
-  only (its mutable state is *not* advanced — G batch statistics update
-  once per outer step, in `train_g_d`), D's spectral-norm state advances.
-  """
+):
+  """D-gradient + new D mutable collections for one (micro)batch of a
+  critic step.  Factored out of `train_d` for gradient accumulation."""
   dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-  _, d_tx = create_optimizers(config)
 
   def loss_fn(params_d):
-    g_variables = {"params": state.g_params, **state.generator_state}
-    d_variables = {"params": params_d, **state.discriminator_state}
+    g_variables = {"params": g_params, **g_state}
+    d_variables = {"params": params_d, **d_state}
     z = _noise(rng, batch, config, dtype)
     generated_image, _ = generator(train=True).apply(
         g_variables, (batch, z), mutable=MUTABLE)
@@ -293,7 +391,46 @@ def train_d(
     return d_loss + c_loss_d, dict(new_d_state)
 
   grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-  (_, new_d_state), d_grad = grad_fn(state.d_params)
+  (_, new_d_state), d_grad = grad_fn(d_params)
+  return d_grad, new_d_state
+
+
+def train_d(
+    rng: jax.Array,
+    state: TrainState,
+    batch: Batch,
+    generator: functools.partial,
+    discriminator: functools.partial,
+    config: ml_collections.ConfigDict,
+) -> TrainState:
+  """Discriminator-only update (the extra critic steps).
+
+  Parity with reference xmc_gan.py:194-256: the generator runs forward
+  only (its mutable state is *not* advanced — G batch statistics update
+  once per outer step, in `train_g_d`), D's spectral-norm state advances.
+  With ``config.grad_accum_steps > 1`` the gradient is accumulated over
+  that many microbatches (see `train_g_d`).
+  """
+  _, d_tx = create_optimizers(config)
+  grads_fn = functools.partial(
+      _critic_grads, g_params=state.g_params, generator=generator,
+      discriminator=discriminator, config=config)
+  k = int(config.get("grad_accum_steps", 1))
+  if k <= 1:
+    d_grad, new_d_state = grads_fn(
+        rng, state.d_params, g_state=state.generator_state,
+        d_state=state.discriminator_state, batch=batch)
+  else:
+
+    def fn(mb_rng, states, mb):
+      d_grad, new_d = grads_fn(mb_rng, state.d_params,
+                               g_state=state.generator_state,
+                               d_state=states, batch=mb)
+      return d_grad, new_d, {}
+
+    new_d_state, d_grad, _ = _accumulated(
+        fn, rng, dict(state.discriminator_state), state.d_params, {},
+        batch, k)
   d_updates, new_d_opt = d_tx.update(d_grad, state.d_opt_state,
                                      state.d_params)
   new_d_params = optax.apply_updates(state.d_params, d_updates)
