@@ -79,17 +79,40 @@ def time_steps(run_one, state, n_steps, repeats=1):
   return times
 
 
-def spread_stats(values):
-  """Median / IQR / extremes of a list of samples, JSON-able."""
+def spread_stats(values, gap=4.0):
+  """Median / IQR / extremes of a list of samples, JSON-able.
+
+  Same-program same-chip windows cannot legitimately differ by more
+  than ``gap``x (the conv-pipeline A/B integrity rule): such a window is
+  a broken measurement (tunnel dispatch glitch, queued executions not
+  drained), never a real result.  Broken windows are excluded from the
+  median/IQR but kept in ``windows`` with their index in
+  ``suspect_windows`` so the record shows what was discarded.
+  """
   v = np.asarray(values, np.float64)
-  q1, med, q3 = np.percentile(v, [25, 50, 75])
-  return {
+  med_all = float(np.median(v))
+  ok = (v > med_all / gap) & (v < med_all * gap)
+  if not ok.any():  # degenerate; keep everything rather than nothing
+    ok = np.ones_like(ok)
+  vv = v[ok]
+  q1, med, q3 = np.percentile(vv, [25, 50, 75])
+  out = {
       "n": int(v.size),
       "median": round(float(med), 4),
       "iqr": round(float(q3 - q1), 4),
-      "min": round(float(v.min()), 4),
-      "max": round(float(v.max()), 4),
+      "min": round(float(vv.min()), 4),
+      "max": round(float(vv.max()), 4),
+      "windows": [round(float(x), 4) for x in v],
   }
+  if not ok.all():
+    out["suspect_windows"] = [int(i) for i in np.flatnonzero(~ok)]
+    out["n_valid"] = int(ok.sum())
+  return out
+
+
+def valid_median(values, gap=4.0):
+  """Median over windows that pass the ``gap``x validity rule."""
+  return spread_stats(values, gap=gap)["median"]
 
 
 def bench_gspmd(step, state, super_batch, n_steps, repeats=1,
@@ -400,6 +423,13 @@ def main():
     candidates = [16 * max(1, n_chips), 8]
   else:
     candidates = [56 * max(1, n_chips // 8), 28, 14]
+  # stack_microbatches requires batch % k == 0; round non-conforming
+  # fallback candidates down to the nearest divisible size so the OOM
+  # fallback path never trips its ValueError.
+  k = args.grad_accum_steps or 1
+  if k > 1:
+    candidates = sorted(
+        {max(k, (bs // k) * k) for bs in candidates}, reverse=True)
 
   def measure_variant(cfg, cands):
     for bs in cands:
@@ -424,7 +454,9 @@ def main():
   step, state_copy, super_batch, batch_size, secs_per_step = built
 
   images_per_step = batch_size * config.d_step_per_g_step
-  sec_per_step = float(np.median(secs_per_step))
+  # Median over windows passing the 4x validity rule (spread_stats):
+  # a window 4x off its siblings is a broken dispatch measurement.
+  sec_per_step = valid_median(secs_per_step)
   throughput = images_per_step / sec_per_step / n_chips
   throughputs = [images_per_step / s / n_chips for s in secs_per_step]
   log(f"gspmd ({'fused' if config.scale_fused_convs else 'naive'} convs): "

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import bench  # spread_stats / valid_median (the 4x window-validity rule)
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -35,14 +37,26 @@ def log(*a):
   print(*a, file=sys.stderr, flush=True)
 
 
-def time_calls(fn, inputs, steps):
+def time_calls(fn, inputs, steps, windows=5):
+  """Times ``windows`` independent windows of ``steps`` calls each.
+
+  Returns (sec_per_call_median, per_window_list).  The median is over
+  windows passing bench.py's 4x validity rule: the `call_exported`
+  dispatch over the axon tunnel has shown bimodal per-launch behavior
+  (BENCH_NOTES round-4 serving record), so every serving measurement
+  records its raw windows and flags implausible ones instead of
+  silently averaging over them.
+  """
   out = fn(*inputs)            # compile + warm
   jax.block_until_ready(out)
-  t0 = time.perf_counter()
-  for _ in range(steps):
-    out = fn(*inputs)
-  jax.block_until_ready(out)
-  return (time.perf_counter() - t0) / steps
+  per_window = []
+  for _ in range(windows):
+    t0 = time.perf_counter()
+    for _ in range(steps):
+      out = fn(*inputs)
+    jax.block_until_ready(out)
+    per_window.append((time.perf_counter() - t0) / steps)
+  return bench.valid_median(per_window), per_window
 
 
 def main():
@@ -53,6 +67,9 @@ def main():
                       "random-init weights — timing only)")
   p.add_argument("--batch_size", type=int, default=64)
   p.add_argument("--steps", type=int, default=20)
+  p.add_argument("--windows", type=int, default=5,
+                 help="independent timing windows per path; medians are "
+                      "over windows passing the 4x validity rule")
   p.add_argument("--sizes", action="store_true",
                  help="also export f32/bf16/int8 artifacts and report "
                       "byte sizes + the int8 output deviation vs the "
@@ -97,14 +114,16 @@ def main():
 
   jitted = jax.jit(serving.generator_serving_fn(generator, variables,
                                                 config))
-  sec_jit = time_calls(jitted, inputs, args.steps)
+  sec_jit, jit_windows = time_calls(jitted, inputs, args.steps,
+                                    args.windows)
   log(f"in-framework jit: {sec_jit*1e3:.2f} ms/batch, "
       f"{b/sec_jit:.1f} images/sec")
 
   exported = serving.export_generator(generator, variables, config,
                                       batch_size=b)
   restored = serving.load_exported(bytes(exported.serialize()))
-  sec_art = time_calls(restored.call, inputs, args.steps)
+  sec_art, art_windows = time_calls(restored.call, inputs, args.steps,
+                                    args.windows)
   log(f"exported artifact: {sec_art*1e3:.2f} ms/batch, "
       f"{b/sec_art:.1f} images/sec")
 
@@ -115,6 +134,12 @@ def main():
       "images_per_sec_exported": round(b / sec_art, 2),
       "export_overhead": round(sec_art / sec_jit, 4),
       "unit": "images/sec",
+      # Raw per-window records (ms/batch) + the validity verdicts: the
+      # exported-path dispatch has shown bimodal per-launch behavior over
+      # the axon tunnel, so the raw windows ARE the finding, not noise.
+      "jit_windows_ms": bench.spread_stats([s * 1e3 for s in jit_windows]),
+      "exported_windows_ms": bench.spread_stats(
+          [s * 1e3 for s in art_windows]),
   }
 
   if args.symbolic:
@@ -131,8 +156,11 @@ def main():
           r.randint(3, 18, size=(bs, 1)).astype(np.float32),
           r.randn(bs, config.z_dim).astype(np.float32),
       ))
-      sec = time_calls(restored_sym.call, ins, args.steps)
+      sec, sym_windows = time_calls(restored_sym.call, ins, args.steps,
+                                    args.windows)
       sym[f"batch_{bs}"] = round(bs / sec, 2)
+      sym[f"batch_{bs}_windows_ms"] = bench.spread_stats(
+          [s * 1e3 for s in sym_windows])
       log(f"symbolic artifact @ batch {bs}: {sec*1e3:.2f} ms/batch, "
           f"{bs/sec:.1f} images/sec")
     result["images_per_sec_symbolic_artifact"] = sym

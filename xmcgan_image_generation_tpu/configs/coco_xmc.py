@@ -150,7 +150,12 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # the deepest savings.  NOT an exact large-batch emulation: the in-batch
   # contrastive negative pools and BatchNorm statistics are
   # microbatch-sized, and spectral-norm power iteration advances once per
-  # microbatch (see engine/xmc_gan.py).
+  # microbatch (see engine/xmc_gan.py).  Measured on a v5e
+  # (measurements/r05/grad_accum, BENCH_NOTES round 5): the capacity
+  # claim holds — 128px batch 224 and 256px batch 64 both OOM plain and
+  # train accumulated — and the scan is not overhead but a small WIN
+  # (+1-2% img/s over the largest plain batch at the same microbatch
+  # size: optimizer/EMA/u-update work amortizes over k microbatches).
   config.grad_accum_steps = 1
   # Native-resolution spatial modulation in the generator (mathematically
   # identical to the reference pipeline; far less HBM traffic and FLOPs).

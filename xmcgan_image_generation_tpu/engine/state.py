@@ -66,15 +66,20 @@ def _learning_rate(config: ml_collections.ConfigDict, base: float,
   sched = config.get("lr_schedule", "constant")
   if sched == "constant":
     return base
-  warmup = int(config.get("lr_warmup_steps", 0)) * opt_steps_per_train_step
-  decay = int(config.get("lr_decay_steps", 0)) * opt_steps_per_train_step
-  if decay <= 0:
+  # Validate on the raw config values BEFORE stretching by
+  # opt_steps_per_train_step, so the error quotes the numbers the user
+  # actually configured (not e.g. 2x them for the discriminator).
+  raw_warmup = int(config.get("lr_warmup_steps", 0))
+  raw_decay = int(config.get("lr_decay_steps", 0))
+  if raw_decay <= 0:
     raise ValueError(
         "lr_schedule != 'constant' requires lr_decay_steps > 0 "
         "(num_train_steps may be epoch-derived and unknown statically)")
-  if warmup >= decay:
-    raise ValueError(f"lr_warmup_steps ({warmup}) must be < lr_decay_steps "
-                     f"({decay})")
+  if raw_warmup >= raw_decay:
+    raise ValueError(f"lr_warmup_steps ({raw_warmup}) must be < "
+                     f"lr_decay_steps ({raw_decay})")
+  warmup = raw_warmup * opt_steps_per_train_step
+  decay = raw_decay * opt_steps_per_train_step
   if sched == "cosine":
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=base, warmup_steps=warmup,

@@ -32,11 +32,17 @@ REGION_DIM = 768  # BERT feature width of the region-context map.
 
 
 def load_reference_msgpack(path: str) -> Dict[str, Any]:
-  """Reads a reference flax-serialized checkpoint into nested dicts."""
+  """Reads a reference flax-serialized checkpoint into nested dicts.
+
+  Routed through the fileio seam so reference checkpoints can live on
+  gs:// exactly where the reference's own task manager keeps them
+  (reference utils/task_manager.py:50-67 reads them via tf.io.gfile).
+  """
   import flax.serialization
 
-  with open(path, "rb") as f:
-    return flax.serialization.msgpack_restore(f.read())
+  from xmcgan_image_generation_tpu.utils import fileio
+
+  return flax.serialization.msgpack_restore(fileio.read_bytes(path))
 
 
 def _adam_slots(param_states: Dict[str, Any], slot: str):
