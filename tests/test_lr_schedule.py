@@ -100,6 +100,15 @@ def test_warmup_must_precede_decay_end():
     _learning_rate(config, 1e-4)
 
 
+def test_validation_error_quotes_raw_config_values():
+  # The D schedule is stretched by d_step_per_g_step; the error must
+  # still quote the numbers the user configured, not the stretched ones.
+  config = config_with(lr_schedule="cosine", lr_warmup_steps=100,
+                       lr_decay_steps=100, d_step_per_g_step=2)
+  with pytest.raises(ValueError, match=r"lr_warmup_steps \(100\).*\(100\)"):
+    _learning_rate(config, 1e-4, 2)
+
+
 def test_unknown_schedule_rejected():
   config = config_with(lr_schedule="exponential", lr_decay_steps=10)
   with pytest.raises(ValueError, match="lr_schedule"):

@@ -92,6 +92,19 @@ def _learning_rate(config: ml_collections.ConfigDict, base: float,
   raise ValueError(f"Unknown lr_schedule: {sched!r}")
 
 
+def learning_rates(config: ml_collections.ConfigDict):
+  """The configured (G, D) learning rates.
+
+  Floats for the constant default; optax schedule callables otherwise.
+  The D schedule counts OPTIMIZER steps: evaluate it at
+  ``outer_step * d_step_per_g_step`` (train.py logs both per step so a
+  decaying schedule is visible in ``metrics.jsonl``).
+  """
+  return (_learning_rate(config, config.g_lr),
+          _learning_rate(config, config.d_lr,
+                         int(config.get("d_step_per_g_step", 1))))
+
+
 def create_optimizers(
     config: ml_collections.ConfigDict
 ) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:

@@ -33,6 +33,7 @@ from xmcgan_image_generation_tpu.engine import (
     get_gan_algorithm,
 )
 from xmcgan_image_generation_tpu.engine.sampling import generate_batch
+from xmcgan_image_generation_tpu.engine.state import learning_rates
 from xmcgan_image_generation_tpu.engine.step import split_batch, train_step
 from xmcgan_image_generation_tpu.parallel import MeshRules, to_host
 from xmcgan_image_generation_tpu.utils import fileio
@@ -168,6 +169,9 @@ def train(config: ml_collections.ConfigDict, workdir: str,
     # train_utils.py:405-412).
     hooks.append(Profile(workdir, profile_step=10, num_profile_steps=5))
   acc = MetricAccumulator()
+  # Scheduled LRs are evaluated host-side at logging time (floats when
+  # constant — nothing logged; callables when config.lr_schedule is set).
+  g_lr_sched, d_lr_sched = learning_rates(config)
 
   # Preemption (SIGTERM) checkpoints at an agreed step and exits cleanly
   # WITHOUT TRAIN_DONE, so a restarted job resumes where it stopped.
@@ -193,7 +197,12 @@ def train(config: ml_collections.ConfigDict, workdir: str,
         hook(step)
 
       if step % config.log_loss_every_steps == 0 or is_last:
-        writer.write_scalars(step, acc.compute_and_reset())
+        scalars = acc.compute_and_reset()
+        if callable(g_lr_sched):  # non-constant schedule: make it visible
+          scalars["g_lr"] = float(g_lr_sched(step))
+          scalars["d_lr"] = float(
+              d_lr_sched(step * config.d_step_per_g_step))
+        writer.write_scalars(step, scalars)
 
       if step % config.eval_every_steps == 0 or is_last:
         vis_batch = split_batch(batch, config.d_step_per_g_step)[0]

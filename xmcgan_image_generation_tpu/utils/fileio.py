@@ -67,14 +67,24 @@ _FS_CACHE = {}
 
 
 def _fs(path: str):
-  """The fsspec filesystem for ``path``'s scheme (cached)."""
+  """The fsspec filesystem for ``path``'s scheme (cached).
+
+  Listings caching is disabled: with gcsfs's default
+  ``cache_timeout=None`` the directory-listing cache NEVER expires, so
+  a polling service (the task manager waiting for new checkpoint steps,
+  the evaluator watching for ``TRAIN_DONE``) would read the first
+  listing forever and miss every checkpoint written after it.  The seam
+  serves small bookkeeping directories at human polling intervals, so
+  fresh listings cost nothing; staleness here is a liveness bug
+  (tests/test_gcs_contract.py pins this against real gcsfs).
+  """
   scheme = split_scheme(path)[0]
   assert scheme is not None, path
   fs = _FS_CACHE.get(scheme)
   if fs is None:
     import fsspec
 
-    fs = fsspec.filesystem(scheme)
+    fs = fsspec.filesystem(scheme, use_listings_cache=False)
     _FS_CACHE[scheme] = fs
   return fs
 
