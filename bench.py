@@ -340,6 +340,11 @@ def main():
   parser.add_argument("--scale_fused_convs", type=int, default=None,
                       help="1/0: fold G upsamples / D pools into the "
                            "adjacent convs (ops/scale_fuse.py)")
+  parser.add_argument("--upconv_method", default=None,
+                      choices=["phase", "dilated"],
+                      help="scale-fused upsample-conv formulation: phase "
+                           "kernels + depth-to-space, or one base-dilated "
+                           "conv (ops/scale_fuse.py)")
   parser.add_argument("--dual_cotangent_vjp", type=int, default=None,
                       help="1/0: reference-style single-vjp dual-cotangent "
                            "G+D gradients instead of two minimal grad "
@@ -409,6 +414,8 @@ def main():
     config.conv_backward = args.conv_backward
   if args.scale_fused_convs is not None:
     config.scale_fused_convs = bool(args.scale_fused_convs)
+  if args.upconv_method is not None:
+    config.upconv_method = args.upconv_method
   if args.dual_cotangent_vjp is not None:
     config.dual_cotangent_vjp = bool(args.dual_cotangent_vjp)
   if args.grad_accum_steps is not None:

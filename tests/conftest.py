@@ -47,7 +47,9 @@ def pytest_configure(config):
   config.addinivalue_line(
       "markers", "heavy: jit-compile-bound test (big single-process "
                  "compiles); `pytest -m 'not slow and not heavy'` is the "
-                 "<10-min single-core verification tier")
+                 "<10-min (warm persistent compile cache) single-core "
+                 "verification tier — roughly 2x that cold; "
+                 "tools/time_quick_tier.sh records each round's number")
 
 
 @pytest.fixture(autouse=True)

@@ -162,9 +162,11 @@ class TestTrainD:
   def test_updates_d_only(self):
     config = tiny_config()
     batch, generator, discriminator, state = setup(config)
-    new_state = xmc_gan.train_d(
-        jax.random.PRNGKey(0), state, batch, generator, discriminator,
-        config)
+    # jit: one (persistently cached) compile instead of ~45s of eager
+    # op-by-op dispatch on the 1-core CI box; semantics are identical.
+    new_state = jax.jit(functools.partial(
+        xmc_gan.train_d, generator=generator, discriminator=discriminator,
+        config=config))(jax.random.PRNGKey(0), state, batch)
     # G params and EMA untouched.
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b),

@@ -38,6 +38,37 @@ class TestOps:
                                rtol=2e-5, atol=2e-5)
 
   @pytest.mark.parametrize("h,ci,co", [(4, 5, 7), (6, 3, 2), (8, 16, 8)])
+  def test_upsample_conv_dilated_exact(self, h, ci, co):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, h, h, ci))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co))
+    ref = _conv3x3(upsample(x), w)
+    got = scale_fuse.upsample_conv_dilated(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+  def test_upsample_conv_dilated_gradients(self):
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 6, 4))
+    w = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 4, 6))
+    loss = lambda f: lambda x_, w_: jnp.sum(jnp.sin(f(x_, w_)))
+    gf = jax.grad(loss(scale_fuse.upsample_conv_dilated), (0, 1))(x, w)
+    gr = jax.grad(loss(lambda x_, w_: _conv3x3(upsample(x_), w_)), (0, 1))(
+        x, w)
+    for a, b in zip(gf, gr):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-4, atol=1e-4)
+
+  def test_hook_up_method_selects_dilated(self):
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 4, 3))
+    w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 5))
+    hook = scale_fuse.make_fused_conv_hook("up", "dilated")
+    got = hook(x, w, (1, 1), "SAME")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(scale_fuse.upsample_conv_dilated(x, w)),
+        rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError):
+      scale_fuse.make_fused_conv_hook("up", "nearest")
+
+  @pytest.mark.parametrize("h,ci,co", [(4, 5, 7), (6, 3, 2), (8, 16, 8)])
   def test_conv_pool_exact(self, h, ci, co):
     x = jax.random.normal(jax.random.PRNGKey(2), (2, h, h, ci))
     w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, ci, co))
@@ -88,6 +119,30 @@ class TestBlocks:
             == jax.tree_util.tree_structure(variables))
     ref = base.apply(variables, x)
     got = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+  @pytest.mark.parametrize("spectral", [False, True])
+  def test_gen_block_dilated_equivalent(self, spectral):
+    """up_method="dilated": same params, same outputs as the unfused block."""
+    from xmcgan_image_generation_tpu.models import blocks
+    from xmcgan_image_generation_tpu.models.xmc_net import _layer_factories
+    conv_fn, dense_fn = _layer_factories(
+        spectral, train=False, dtype=jnp.float32, up_method="dilated")
+    norm_fn = lambda **kw: nn.BatchNorm(  # noqa: E731
+        use_running_average=True, momentum=0.9, epsilon=1e-5, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 4, 4, 6))
+    cond = jax.random.normal(jax.random.PRNGKey(8), (2, 10))
+    base = blocks.GenBlock(filters=5, conv_fn=conv_fn, dense_fn=dense_fn,
+                           norm_fn=norm_fn)
+    fused = blocks.GenBlock(filters=5, conv_fn=conv_fn, dense_fn=dense_fn,
+                            norm_fn=norm_fn, scale_fuse=True)
+    variables = base.init(jax.random.PRNGKey(0), x, cond)
+    v_fused = fused.init(jax.random.PRNGKey(0), x, cond)
+    assert (jax.tree_util.tree_structure(v_fused)
+            == jax.tree_util.tree_structure(variables))
+    ref = base.apply(variables, x, cond)
+    got = fused.apply(variables, x, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 

@@ -11,6 +11,7 @@ Quick manual drive (same flow via the CLI):
 import glob
 import json
 import os
+import shutil
 
 import jax
 import numpy as np
@@ -33,12 +34,30 @@ def smoke_config(num_steps=2):
   return config
 
 
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+  """ONE shared 2-step constant-LR training run.
+
+  Four tests in this module need a trained workdir; training it once and
+  handing mutating tests a copy keeps the quick tier's wall time at one
+  compile instead of four (tools/time_quick_tier.sh budget).  Tests that
+  only read assert on the shared dir directly.
+  """
+  workdir = str(tmp_path_factory.mktemp("smoke") / "exp")
+  train_lib.train(smoke_config(num_steps=2), workdir)
+  return workdir
+
+
+def _mutable_copy(trained_workdir, tmp_path):
+  dst = str(tmp_path / "exp")
+  shutil.copytree(trained_workdir, dst)
+  return dst
+
+
 class TestTrainSmoke:
 
-  def test_end_to_end_train(self, tmp_path):
-    workdir = str(tmp_path / "exp")
-    config = smoke_config()
-    train_lib.train(config, workdir)
+  def test_end_to_end_train(self, trained_workdir):
+    workdir = trained_workdir
 
     # Checkpoint exists at the final step.
     mngr = CheckpointManager(checkpoints_dir(workdir))
@@ -58,11 +77,9 @@ class TestTrainSmoke:
     assert os.path.exists(
         os.path.join(checkpoints_dir(workdir), "TRAIN_DONE"))
 
-  def test_resume_from_checkpoint(self, tmp_path):
-    workdir = str(tmp_path / "exp")
-    # Train 2 steps, checkpointing at step 2.
-    train_lib.train(smoke_config(num_steps=2), workdir)
-    # Resume and train 2 more.
+  def test_resume_from_checkpoint(self, trained_workdir, tmp_path):
+    # Resume the shared 2-step run (in a copy) and train 2 more.
+    workdir = _mutable_copy(trained_workdir, tmp_path)
     train_lib.train(smoke_config(num_steps=4), workdir)
     mngr = CheckpointManager(checkpoints_dir(workdir))
     assert 4 in mngr.all_steps()
@@ -133,6 +150,10 @@ def scheduled_config(num_steps=2):
 class TestScheduledTraining:
   """config.lr_schedule driven end-to-end, not just unit-tested."""
 
+  @pytest.mark.heavy  # two full train() runs: integration-grade compile
+  # cost (~86s cold); the mismatch error-path test below stays quick, and
+  # the 200-step on-mesh dynamics run (measurements/r05/dynamics.json)
+  # covers the schedule end-to-end.
   def test_schedule_visible_in_metrics_and_resumes_mid_schedule(
       self, tmp_path):
     workdir = str(tmp_path / "exp")
@@ -154,14 +175,16 @@ class TestScheduledTraining:
     for r in rows:
       assert np.isfinite(r.get("d_loss", 0.0))
 
-  def test_schedule_mismatch_vs_checkpoint_fails_loudly(self, tmp_path):
+  def test_schedule_mismatch_vs_checkpoint_fails_loudly(
+      self, trained_workdir, tmp_path):
     """The documented restriction (engine/state.py create_optimizers):
     lr_schedule must be chosen before training starts — a scheduled
     optimizer state has a different checkpoint structure, and restoring
     a constant-LR checkpoint into a scheduled run must raise, not
     silently mis-train."""
-    workdir = str(tmp_path / "exp")
-    train_lib.train(smoke_config(num_steps=2), workdir)  # constant LR
+    # The shared fixture run IS the constant-LR training; the failed
+    # restore below may touch the workdir, so take a copy.
+    workdir = _mutable_copy(trained_workdir, tmp_path)
     with pytest.raises(Exception) as excinfo:
       train_lib.train(scheduled_config(num_steps=4), workdir)
     # Orbax surfaces the structural mismatch; accept any exception whose
@@ -173,12 +196,13 @@ class TestScheduledTraining:
 
 class TestGenerateMode:
 
-  def test_generate_from_checkpoint(self, tmp_path):
+  def test_generate_from_checkpoint(self, trained_workdir, tmp_path):
     from xmcgan_image_generation_tpu import generate as gen_lib
     import glob as globlib
-    workdir = str(tmp_path / "exp")
+    # generate() only reads the checkpoint, but it writes its PNGs under
+    # the workdir — use a copy so the shared fixture dir stays pristine.
+    workdir = _mutable_copy(trained_workdir, tmp_path)
     config = smoke_config()
-    train_lib.train(config, workdir)
     out_dir = gen_lib.generate(config, workdir)
     pngs = globlib.glob(os.path.join(out_dir, "*.png"))
     assert len(pngs) == 3  # generated, ema, real

@@ -90,10 +90,16 @@ def main():
 
     row = {"shape": name, "B": bn, "res": res, "ci": ci, "co": co}
     line = f"{name:24s}"
-    for tag, fn, fmul in (("naive", naive, 1.0),
-                          ("fused", fused, 1.0),
-                          ("naive+bwd", fwd_bwd(naive), 2.0),
-                          ("fused+bwd", fwd_bwd(fused), 2.0)):
+    variants = [("naive", naive, 1.0),
+                ("fused", fused, 1.0),
+                ("naive+bwd", fwd_bwd(naive), 2.0),
+                ("fused+bwd", fwd_bwd(fused), 2.0)]
+    if kind == "up":
+      # Same-process A/B of the two fused formulations (phase kernels +
+      # depth-to-space vs one base-dilated conv; ops/scale_fuse.py).
+      dil = scale_fuse.upsample_conv_dilated
+      variants += [("dilated", dil, 1.0), ("dilated+bwd", fwd_bwd(dil), 2.0)]
+    for tag, fn, fmul in variants:
       try:
         sec = time_fn(jax.jit(fn), x, w, steps=args.steps)
         tfs = naive_flops * fmul / sec / 1e12

@@ -12,15 +12,21 @@ OUT=${1:-measurements/quicktier.json}
 BUDGET_SECS=600
 cd "$(dirname "$0")/.."
 
+# The tier is compile-bound; the persistent jit cache (conftest.py) makes
+# warm runs much faster than cold.  Record which this was: the committed
+# JSON must say what it measured.
+cache_entries=$(ls /tmp/jax_test_cache 2>/dev/null | wc -l)
+
 start=$(date +%s)
 python -m pytest tests/ -q -m "not slow and not heavy" \
     --durations=15 --durations-min=5 2>&1 | tail -40 | tee /tmp/quicktier.out
 rc=${PIPESTATUS[0]}
 wall=$(( $(date +%s) - start ))
 
-python - "$OUT" "$wall" "$rc" "$BUDGET_SECS" <<'EOF'
+python - "$OUT" "$wall" "$rc" "$BUDGET_SECS" "$cache_entries" <<'EOF'
 import json, re, sys
 out, wall, rc, budget = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+cache_entries = int(sys.argv[5])
 text = open("/tmp/quicktier.out").read()
 durations = re.findall(r"^\s*([0-9.]+)s\s+(call|setup|teardown)\s+(\S+)", text, re.M)
 m = re.search(r"(\d+) passed", text)
@@ -29,6 +35,8 @@ record = {
     "budget_secs": budget,
     "within_budget": wall <= budget and rc == 0,
     "pytest_rc": rc,
+    "compile_cache_entries_at_start": cache_entries,
+    "cache_state": "cold" if cache_entries == 0 else "warm",
     "n_passed": int(m.group(1)) if m else None,
     "slowest": [{"secs": float(s), "phase": p, "test": t}
                 for s, p, t in durations[:15]],

@@ -170,6 +170,17 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # 128px batch-56 step drops 258.4 -> 199.4 ms (433.5 -> 561.7
   # images/sec/chip), so the fused pipeline is the default.
   config.scale_fused_convs = True
+  # Scale-fused upsample-conv formulation: "phase" (2x2 phase kernels +
+  # depth-to-space interleave) or "dilated" (one base-dilated 4x4 conv,
+  # no depth-to-space — attacks the ~3.5 GB/step of interleave
+  # transposes the round-4 copy census identified as the one standing
+  # waste).  Forward semantics and the param tree are identical.
+  # Measured same-process A/B on a v5e (tools/upconv_ab.py, flagship
+  # 128px b56, 5 interleaved windows each: measurements/r05/
+  # upconv_ab.json): dilated 177.65 ms vs phase 186.46 ms (-4.7% step
+  # time, IQR <=0.14 both arms), HBM traffic 103.5 vs 112.4 GB/step —
+  # so "dilated" is the default.
+  config.upconv_method = "dilated"
   # Conv gradient algorithm for the 3x3/stride-1 G/D convs: "xla" keeps
   # XLA's native conv-gradient emitters; "auto" applies the per-shape
   # winner measured on a v5e by tools/convgrad_bench.py (MXU-matmul

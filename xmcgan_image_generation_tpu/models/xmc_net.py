@@ -109,17 +109,19 @@ def _maybe_remat(config: ml_collections.ConfigDict, block_cls,
 
 
 def _layer_factories(spectral_norm: bool, train: bool, dtype: Any,
-                     conv_backward: str = "xla"):
+                     conv_backward: str = "xla", up_method: str = "phase"):
   """Returns (conv_fn, dense_fn) factories, spectrally normalized or plain.
 
   ``conv_backward`` selects the conv gradient algorithm (ops/mxu_conv.py);
-  it never changes the forward computation or the param tree, so checkpoint
-  and reference-parity surfaces are unaffected.
+  ``up_method`` the scale-fused upsample-conv formulation
+  (ops/scale_fuse.py).  Neither changes the forward semantics or the
+  param tree, so checkpoint and reference-parity surfaces are unaffected.
   """
   if spectral_norm:
     conv_fn = functools.partial(
         SpectralConv, train=train, dtype=dtype,
-        conv_backward=conv_backward, kernel_init=glorot_normal())
+        conv_backward=conv_backward, up_method=up_method,
+        kernel_init=glorot_normal())
     dense_fn = functools.partial(
         SpectralDense, train=train, dtype=dtype, kernel_init=glorot_normal())
   else:
@@ -128,7 +130,7 @@ def _layer_factories(spectral_norm: bool, train: bool, dtype: Any,
       # plain nn.Conv — only the conv's computation/VJP rule changes.
       if scale_op != "none":
         kw["conv_general_dilated"] = scale_fuse.make_fused_conv_hook(
-            scale_op)
+            scale_op, up_method)
       elif conv_backward != "xla":
         kw["conv_general_dilated"] = mxu_conv.make_conv_general_dilated(
             conv_backward)
@@ -194,7 +196,8 @@ class Generator(nn.Module):
 
     conv_fn, dense_fn = _layer_factories(
         config.g_spectral_norm, self.train, self.dtype,
-        conv_backward=config.get("conv_backward", "xla"))
+        conv_backward=config.get("conv_backward", "xla"),
+        up_method=config.get("upconv_method", "phase"))
     norm_fn = _make_norm_fn(config, self.train, self.dtype)
     channels = _GEN_CHANNELS[config.image_size]
     block_args = dict(

@@ -87,6 +87,35 @@ def upsample_conv(x: Array, w: Array, precision=None) -> Array:
   return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wd, co)
 
 
+def upsample_conv_dilated(x: Array, w: Array, precision=None) -> Array:
+  """``conv3x3_SAME(nearest_upsample_2x(x), w)`` as ONE base-dilated conv.
+
+  Same function as `upsample_conv` but with no depth-to-space: nearest
+  upsample is the base-2-dilated input convolved with ``ones(2,2)``, so
+  the composed pipeline is a single conv of the dilated input with the
+  4x4 kernel ``K = w * ones(2,2)`` (correlation — exactly
+  ``fuse_pool_kernel(w) * 4``), padding 2.  The high-resolution output
+  is written directly from the conv, trading the phase formulation's
+  materialized transpose (~176 MB x3/step at the 128px scale, the one
+  standing waste in the round-4 copy census) for whatever XLA makes of a
+  base-dilated conv on the MXU.  Which formulation wins is an empirical
+  question per backend — `config.upconv_method` selects, bench A/B
+  measures (BENCH_NOTES).
+
+  Args:
+    x: ``[B, H, W, Ci]`` input (the LOW-resolution tensor).
+    w: ``[3, 3, Ci, Co]`` kernel.
+
+  Returns:
+    ``[B, 2H, 2W, Co]``, equal to the unfused pipeline.
+  """
+  k = _pool_combos(_pool_combos(w, 0), 1)
+  return lax.conv_general_dilated(
+      x, k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+      lhs_dilation=(2, 2),
+      dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
 def _pool_combos(w: Array, axis: int) -> Array:
   """3-tap kernel axis -> the 4-tap pooled-conv combination."""
   w0, w1, w2 = (lax.index_in_dim(w, i, axis, keepdims=True)
@@ -120,15 +149,20 @@ def conv_pool(x: Array, w: Array, precision=None) -> Array:
       dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
 
 
-def make_fused_conv_hook(scale_op: str):
+def make_fused_conv_hook(scale_op: str, up_method: str = "phase"):
   """``nn.Conv(conv_general_dilated=...)`` hook applying a fused op.
 
   Keeps the module scope (``Conv_N``) and the 3x3 "kernel" param — only
   the computation changes.  The caller (models/blocks.py) guarantees the
   conv qualifies (3x3, stride 1, SAME, no dilation), so the incoming
   strides/padding describe the *unfused* conv and are intentionally
-  replaced by the fused formulation.
+  replaced by the fused formulation.  ``up_method`` selects the
+  upsample-conv formulation: "phase" (2x2 phase kernels +
+  depth-to-space) or "dilated" (one base-dilated 4x4 conv).
   """
+  if up_method not in ("phase", "dilated"):
+    raise ValueError(f"unknown up_method: {up_method}")
+
   def conv(lhs, rhs, window_strides, padding, lhs_dilation=None,
            rhs_dilation=None, dimension_numbers=None,
            feature_group_count=1, precision=None, **kwargs):
@@ -137,7 +171,8 @@ def make_fused_conv_hook(scale_op: str):
     if feature_group_count != 1 or rhs.shape[:2] != (3, 3):
       raise ValueError("fused conv hook requires a plain 3x3 conv")
     if scale_op == "up":
-      return upsample_conv(lhs, rhs, precision=precision)
+      fn = upsample_conv if up_method == "phase" else upsample_conv_dilated
+      return fn(lhs, rhs, precision=precision)
     if scale_op == "pool":
       return conv_pool(lhs, rhs, precision=precision)
     raise ValueError(f"unknown scale_op: {scale_op}")

@@ -124,6 +124,7 @@ class SpectralConv(nn.Module):
   precision: Any = None
   conv_backward: str = "xla"
   scale_op: str = "none"
+  up_method: str = "phase"
   kernel_init: Callable = nn.initializers.lecun_normal()
   bias_init: Callable = zeros
 
@@ -155,8 +156,11 @@ class SpectralConv(nn.Module):
       if kernel_size != (3, 3) or tuple(strides) != (1, 1):
         raise ValueError(
             f"scale_op={self.scale_op} requires a 3x3/stride-1 conv")
-      fused = (scale_fuse.upsample_conv if self.scale_op == "up"
-               else scale_fuse.conv_pool)
+      if self.scale_op == "up":
+        fused = (scale_fuse.upsample_conv if self.up_method == "phase"
+                 else scale_fuse.upsample_conv_dilated)
+      else:
+        fused = scale_fuse.conv_pool
       y = fused(inputs.astype(self.dtype), kernel_bar,
                 precision=self.precision)
     else:

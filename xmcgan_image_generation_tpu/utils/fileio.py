@@ -295,9 +295,12 @@ def create_exclusive(path: str, data) -> bool:
   if isinstance(data, str):
     data = data.encode("utf-8")
   if not is_remote(path):
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # Suffix must be unique per pid AND thread: racing threads share the
+    # pid, and one thread's cleanup would otherwise delete another's tmp
+    # between its open and link (observed as FileNotFoundError on link).
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     try:
-      os.remove(tmp)  # leftover from a crashed attempt of this pid
+      os.remove(tmp)  # leftover from a crashed attempt of this pid/thread
     except OSError:
       pass
     fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
