@@ -26,6 +26,7 @@ from xmcgan_image_generation_tpu.parallel.audit import (
     word_loss_blowup,
 )
 from xmcgan_image_generation_tpu.parallel.introspect import (
+    collective_bytes,
     collective_counts,
     max_tensor_bytes,
     tensor_shapes,
@@ -170,6 +171,21 @@ class TestIntrospect:
     """
     counts = collective_counts(text)
     assert counts == {"all-reduce": 2, "all-gather": 1}
+
+  def test_collective_bytes(self):
+    text = """
+      %ar = f32[8,16]{1,0} all-reduce(%x), replica_groups={}
+      %ag.1 = bf16[64,17,768]{2,1,0} all-gather(%y), dimensions={0}
+      %ars = (f32[8]{0}, f32[4]{0}) all-reduce-start(%z, %w)
+      %ard = (f32[8]{0}, f32[4]{0}) all-reduce-done(%ars)
+      %nope = f32[2]{0} add(%a, %b)
+    """
+    nbytes = collective_bytes(text)
+    # all-reduce: plain 8*16*4 + tuple start (8+4)*4; -done skipped.
+    assert nbytes == {
+        "all-reduce": 8 * 16 * 4 + (8 + 4) * 4,
+        "all-gather": 64 * 17 * 768 * 2,
+    }
 
   def test_max_tensor_bytes(self):
     text = "%a = bf16[64,64,256,17]{3,2,1,0} broadcast(%x)\n" \

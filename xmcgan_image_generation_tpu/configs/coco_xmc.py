@@ -178,8 +178,10 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # Measured same-process A/B on a v5e (tools/upconv_ab.py, flagship
   # 128px b56, 5 interleaved windows each: measurements/r05/
   # upconv_ab.json): dilated 177.65 ms vs phase 186.46 ms (-4.7% step
-  # time, IQR <=0.14 both arms), HBM traffic 103.5 vs 112.4 GB/step —
-  # so "dilated" is the default.
+  # time, IQR <=0.14 both arms), HBM traffic 103.5 vs 112.4 GB/step;
+  # at 256px b32 the cut is larger — 335.68 vs 364.84 ms (-8.0%,
+  # measurements/r05/upconv_ab_256.json) — so "dilated" is the default
+  # at both resolutions.
   config.upconv_method = "dilated"
   # Conv gradient algorithm for the 3x3/stride-1 G/D convs: "xla" keeps
   # XLA's native conv-gradient emitters; "auto" applies the per-shape

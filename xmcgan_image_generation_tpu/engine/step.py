@@ -49,6 +49,18 @@ def stack_microbatches(batch: Batch, k: int) -> Batch:
   is pinned to ``P(None, "data", ...)`` so each microbatch stays sharded
   over the data axis (no-op without an ambient mesh, or when the
   microbatch doesn't divide it).
+
+  The contiguous-row partition costs a cross-device redistribution of
+  the batch bytes each step (a shard-local partition wouldn't), but it
+  is load-bearing, not arbitrary: microbatch composition is semantics
+  here — the contrastive losses pool their negatives within a
+  microbatch (as the reference pools within a device batch,
+  libml/losses.py), so the partition must be the documented, seed-stable
+  `split_batch` one, not whatever layout happens to be resident.  The
+  redistribution is priced by `tools/grad_accum_census.py` (AOT census
+  at flagship shapes) and bounded on silicon by the measured -0.7%
+  same-global-batch overhead (BENCH_NOTES "gradient accumulation on
+  silicon").
   """
   if k <= 1:
     return batch

@@ -26,7 +26,7 @@ _COLLECTIVES = (
 
 # HLO op form: `%name = bf16[16,128,128,96]{3,2,1,0} all-reduce(...)`.
 _OP_RE = re.compile(
-    r"=\s+(?:\([^)]*\)|[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?)\s+"
+    r"=\s+(\([^)]*\)|[a-z0-9]+\[[0-9,]*\](?:\{[^}]*\})?)\s+"
     r"(" + "|".join(_COLLECTIVES) + r")(-start|-done)?\(")
 
 _SHAPE_RE = re.compile(r"\b(pred|bf16|f16|f32|f64|s8|u8|s16|u16|s32|u32|"
@@ -48,10 +48,35 @@ def collective_counts(hlo_text: str) -> Dict[str, int]:
   """
   counts: Dict[str, int] = {}
   for m in _OP_RE.finditer(hlo_text):
-    if m.group(2) == "-done":  # the start of the async pair was counted
+    if m.group(3) == "-done":  # the start of the async pair was counted
       continue
-    counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    counts[m.group(2)] = counts.get(m.group(2), 0) + 1
   return counts
+
+
+def collective_bytes(hlo_text: str) -> Dict[str, int]:
+  """Per-device OUTPUT bytes moved by each collective kind, summed.
+
+  For each collective op the per-device result shape(s) right after
+  ``=`` are summed (tuple outputs — e.g. fused all-reduces — count every
+  element).  ``-done`` halves of async pairs are skipped.  This is the
+  program's per-step collective traffic as seen by one device, the
+  quantity to compare against the step's HBM budget when deciding
+  whether a collective matters (tools/grad_accum_census.py).
+  """
+  out: Dict[str, int] = {}
+  for m in _OP_RE.finditer(hlo_text):
+    if m.group(3) == "-done":
+      continue
+    n = 0
+    for sm in _SHAPE_RE.finditer(m.group(1)):
+      e = _DTYPE_BYTES[sm.group(1)]
+      for d in sm.group(2).split(","):
+        if d:
+          e *= int(d)
+      n += e
+    out[m.group(2)] = out.get(m.group(2), 0) + n
+  return out
 
 
 def tensor_shapes(hlo_text: str) -> List[Tuple[str, Tuple[int, ...], int]]:
