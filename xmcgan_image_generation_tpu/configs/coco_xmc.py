@@ -108,7 +108,12 @@ def get_config(config_string: str = "") -> ml_collections.ConfigDict:
   # behavior; the sync_match the reference declared but never implemented,
   # reference libml/attention_lib.py:58-59).  >0 = contiguous groups of
   # that many examples, reproducing the reference's de-facto per-device
-  # local pools (set to the per-device batch, e.g. 8).
+  # local pools (set to the per-device batch, e.g. 8).  At multi-chip
+  # scale this is THE scaling knob: a global pool weak-scales the [B,B]
+  # similarity work quadratically and hits an ICI wall by ~64 chips,
+  # while a pinned group size keeps every collective constant per device
+  # (projected >=73% no-overlap efficiency to a 256-chip v5e pod —
+  # BENCH_NOTES "multi-chip scaling, projected").
   config.contrastive_group_size = -1
   # Data source: "tfrecord" reads the reference-compatible TFRecords from
   # data_dir; "synthetic" produces deterministic random batches (smoke/bench).
