@@ -47,8 +47,9 @@ def pytest_configure(config):
   config.addinivalue_line(
       "markers", "heavy: jit-compile-bound test (big single-process "
                  "compiles); `pytest -m 'not slow and not heavy'` is the "
-                 "<10-min (warm persistent compile cache) single-core "
-                 "verification tier — roughly 2x that cold; "
+                 "<10-min single-core verification tier (round-5 measured: "
+                 "8:09 cold / 7:44 warm — the round-5 demotions moved the "
+                 "cache-sensitive compiles to 'heavy', so cold ~ warm); "
                  "tools/time_quick_tier.sh records each round's number")
 
 
