@@ -113,6 +113,17 @@ def _free_port():
   return port
 
 
+def _worker_env():
+  """Env for spawned worker processes: drop the parent's forced
+  JAX_PLATFORMS (workers pick CPU themselves) and prepend the repo root
+  to PYTHONPATH so workers import the package even without an editable
+  install (worker scripts run from a tmp cwd)."""
+  env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS",)}
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+  return env
+
+
 @pytest.mark.slow
 class TestMultiHostTraining:
 
@@ -122,8 +133,7 @@ class TestMultiHostTraining:
     with open(script, "w") as f:
       f.write(WORKER)
     port = str(_free_port())
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS",)}
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(pid), "2", port, workdir],
@@ -191,8 +201,7 @@ class TestMultiHostPreemption:
     with open(script, "w") as f:
       f.write(PREEMPT_WORKER)
     port = str(_free_port())
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS",)}
+    env = _worker_env()
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(pid), "2", port, workdir],
@@ -246,8 +255,7 @@ class TestSynchronizedSteps:
     ckpt_dir = str(tmp_path / "ckpts")
     os.makedirs(ckpt_dir, exist_ok=True)
     port = str(_free_port())
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS",)}
+    env = _worker_env()
     # 1 device per process: the protocol needs no SPMD compute.
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     return [
@@ -311,8 +319,7 @@ class TestMultiHostEvalService:
     eval_script = str(tmp_path / "eval_worker.py")
     with open(eval_script, "w") as f:
       f.write(EVAL_WORKER)
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS",)}
+    env = _worker_env()
 
     for script, name in ((train_script, "train"), (eval_script, "eval")):
       port = str(_free_port())

@@ -39,8 +39,9 @@ censuses that configuration too).  First job on real multi-chip
 hardware: replace this table with measured points (ROADMAP item 2).
 
 Usage:
-  python tools/scaling_model.py [--devices 2,4,8] [--project 8,16,32,64,256]
-      [--grouped] [--out measurements/r05/scaling_model.json]
+  python tools/scaling_model.py [--variant {128,256}] [--devices 2,4,8]
+      [--project 8,16,32,64,256] [--grouped]
+      [--out measurements/r05/scaling_model.json]
 """
 
 import argparse
@@ -53,10 +54,15 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 # --- Hardware model: TPU v5e (the measured chip) -------------------------
 # 2D torus, 4 ICI links/chip, ~45 GB/s one-way each => per-chip egress.
 V5E_ICI_EGRESS_GBPS = 4 * 45.0
-# The measured flagship step (bench_dilated.json): 112 images (batch 56,
-# d_step 2) in 190.4 ms on one v5e chip, no collectives.  The audit's weak
-# scaling runs 8 img/device, so main() scales this to the audit batch.
-FLAGSHIP_COMPUTE_MS = 190.4
+# Measured single-chip flagship steps, no collectives:
+#  - 128px: 112 images (batch 56, d_step 2) in 190.4 ms
+#    (bench_dilated.json, windowed bench);
+#  - 256px: 64 images (batch 32, d_step 2) in 335.7 ms
+#    (upconv_ab_256.json "dilated", scan-timed).
+MEASURED = {
+    "128": {"per_device_batch": 56, "compute_ms": 190.4},
+    "256": {"per_device_batch": 32, "compute_ms": 335.7},
+}
 
 
 def fit_linear(ns, ys):
@@ -128,12 +134,13 @@ def project(fits, compute_ms, ns, egress_gbps=V5E_ICI_EGRESS_GBPS,
   return rows
 
 
-def census_bytes(n_devices, per_device_batch=56, grouped=False):
-  """Compile flagship-128 at ``n_devices`` and census collective bytes."""
+def census_bytes(n_devices, per_device_batch=56, grouped=False,
+                 variant="128"):
+  """Compile the flagship variant at ``n_devices``; census collective bytes."""
   from xmcgan_image_generation_tpu.parallel import audit
   from xmcgan_image_generation_tpu.parallel.introspect import collective_bytes
 
-  config = audit.flagship_config("128", n_devices)
+  config = audit.flagship_config(variant, n_devices)
   # Weak scaling at the MEASURED single-chip density (56 img/chip,
   # bench_dilated.json), not the audit's 8/device, so the measured
   # compute time applies to the projection unscaled.
@@ -177,9 +184,11 @@ def main():
   p.add_argument("--grouped", action="store_true",
                  help="also census the frozen-pool (contrastive_group_size) "
                       "variant at each device count")
-  p.add_argument("--per_device_batch", type=int, default=56,
+  p.add_argument("--variant", default="128", choices=("128", "256"),
+                 help="flagship config to project")
+  p.add_argument("--per_device_batch", type=int, default=None,
                  help="weak-scaling density (default: the measured "
-                      "single-chip flagship batch)")
+                      "single-chip batch of the variant)")
   p.add_argument("--out", default=None)
   args = p.parse_args()
 
@@ -194,11 +203,14 @@ def main():
   project_ns = [int(x) for x in args.project.split(",")]
 
   # Compute time at the chosen weak-scaling density, from the measured
-  # batch-56 single-chip record (compute scales ~linearly with batch at
-  # these MXU-saturating shapes; exact at the default 56).
+  # single-chip record of the variant (compute scales ~linearly with
+  # batch at these MXU-saturating shapes; exact at the default batch).
+  meas = MEASURED[args.variant]
+  pdb = args.per_device_batch or meas["per_device_batch"]
   d_steps = 2
-  images_per_device_step = args.per_device_batch * d_steps
-  compute_ms = FLAGSHIP_COMPUTE_MS * images_per_device_step / 112.0
+  images_per_device_step = pdb * d_steps
+  compute_ms = (meas["compute_ms"] * images_per_device_step
+                / (meas["per_device_batch"] * d_steps))
 
   variants = {"global_pool": False}
   if args.grouped:
@@ -207,9 +219,10 @@ def main():
   record = {
       "model": "first-order ICI serialization on a v5e 2D torus "
                "(4x45 GB/s egress/chip); weak scaling at "
-               f"{args.per_device_batch} img/device; compute time from the "
-               "measured single-chip step (bench_dilated.json)",
-      "per_device_batch": args.per_device_batch,
+               f"{pdb} img/device; compute time from the "
+               "measured single-chip step (see MEASURED in this tool)",
+      "variant": args.variant,
+      "per_device_batch": pdb,
       "compute_ms_per_device": round(compute_ms, 2),
       "ici_egress_gbps_per_chip": V5E_ICI_EGRESS_GBPS,
       "caveats": [
@@ -219,17 +232,17 @@ def main():
           "compiler-schedule drift across device counts",
           "global_pool weak scaling grows the contrastive negative pool "
           "with the global batch (a semantics change vs the measured "
-          "batch-56 flagship); grouped_pool freezes it via "
+          "single-chip flagship); grouped_pool freezes it via "
           "contrastive_group_size",
       ],
   }
   for name, grouped in variants.items():
     points = {}
     for n in census_ns:
-      print(f"[census] flagship-128 @{n}dev x{args.per_device_batch} "
+      print(f"[census] flagship-{args.variant} @{n}dev x{pdb} "
             f"{name} ...", file=sys.stderr, flush=True)
-      points[n] = census_bytes(n, per_device_batch=args.per_device_batch,
-                               grouped=grouped)
+      points[n] = census_bytes(n, per_device_batch=pdb, grouped=grouped,
+                               variant=args.variant)
       mb = {k: round(v / 1e6, 1) for k, v in sorted(points[n].items())}
       print(f"[census]   {mb}", file=sys.stderr, flush=True)
     record[name] = build_record(points, project_ns, compute_ms,
